@@ -1,0 +1,172 @@
+"""Reference-set classification (phase 1 of the reference pipeline).
+
+Reproduces ``ReferenceSetBlocking.classifyBlockingAttribute``
+(/root/reference/src/main/java/com/algorithms/ReferenceSetBlocking.java:151-184)
+with two deliberate structural rewrites for scale (SURVEY.md §2.5/§4.2):
+
+* The reference runs 12 separate ``map`` stages (3 attrs × 4 samples) and
+  unions them (ReferenceSetBlocking.java:28-68). We run ONE pass: the party
+  table is unpivoted to (id, attr_idx, value), exploded with a literal
+  sample-index array, and classified by a single pandas UDF — one shuffle
+  instead of twelve lambda stages.
+* The driver-side ``SecureRandom`` Durstenfeld shuffle
+  (/root/reference/src/main/java/com/utils/DurstenfeldShuffle.java:8-26) is
+  replaced by a SEEDED permutation (determinism is a test requirement;
+  documented divergence, SURVEY.md §2.8.2).
+
+The sorted samples are broadcast once and consumed inside the UDF via the
+exact prefix-binary-search + Levenshtein semantics of the reference
+(including the clamps of BinarySearch.java:34-36 and the strict
+``pos-1 > 0`` guard at ReferenceSetBlocking.java:169).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import PPRLConfig
+from ..functions.strings import levenshtein_batch, prefix_binary_search_batch
+
+
+def build_reference_samples(
+    reference_sets: DataFrame, cfg: PPRLConfig, db_size: int
+) -> dict[int, np.ndarray]:
+    """Driver-side: distinct/clean/uppercase each reference column, then draw
+    ``num_samples`` seeded sorted samples per attribute.
+
+    Mirrors ReferenceSetBlocking.java:33-41 (na.drop → distinct →
+    len>1 filter → upper → shuffle → limit RS_SIZE → sort). Sample ``s`` is
+    numbered 1..(attrs*samples) in the reference's loop order
+    (ReferenceSetBlocking.java:31,67).
+    """
+    rs_size = max(1, cfg.rs_size(db_size))
+    samples: dict[int, np.ndarray] = {}
+    s = 1
+    for i in range(1, cfg.num_attrs + 1):
+        col = f"col{i}"
+        vals = (
+            reference_sets.select(col)
+            .na.drop()
+            .distinct()
+            .where(F.length(F.col(col)) > 1)
+            .select(F.upper(F.col(col)).alias("v"))
+            .toPandas()["v"]
+            .to_numpy()
+        )
+        # canonical order before permuting so sampling is partition-invariant
+        vals = np.sort(vals)
+        for j in range(cfg.num_samples):
+            rng = np.random.default_rng(cfg.seed * 10_000 + s)
+            perm = rng.permutation(len(vals))[:rs_size]
+            samples[s] = np.sort(vals[perm])
+            s += 1
+    return samples
+
+
+def unpivot_records(records: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """(id, party, attr1..attrN) -> (recordID, party, attr_idx, value).
+
+    Catalyst-only unpivot (explode of a literal struct array) — the
+    single-pass replacement for the reference's 12-way union (U1, SURVEY §2.5).
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("attr_idx"),
+                F.col(attr).cast("string").alias("value"),
+            )
+            for i, attr in enumerate(cfg.blocking_attrs)
+        ]
+    )
+    return (
+        records.select(
+            F.col(cfg.id_col).cast("string").alias("recordID"),
+            F.col("party"),
+            F.explode(pairs).alias("p"),
+        )
+        .select("recordID", "party", F.col("p.attr_idx").alias("attr_idx"), F.col("p.value").alias("value"))
+    )
+
+
+def classify(
+    spark: SparkSession,
+    records: DataFrame,
+    samples: dict[int, np.ndarray],
+    cfg: PPRLConfig,
+) -> DataFrame:
+    """One-pass classification over the exploded (attr, sample) grid.
+
+    Output: (recordID, party, s, classID, score) — one row per record ×
+    attribute × sample, classID = ``"S{s}.{pos}"`` exactly as
+    ReferenceSetBlocking.java:176,180.
+    """
+    bc = spark.sparkContext.broadcast(
+        {s: np.asarray(v, dtype=object) for s, v in samples.items()}
+    )
+    nsc = cfg.num_search_chars
+    rs_sizes = {s: len(v) for s, v in samples.items()}
+    num_samples = cfg.num_samples
+
+    out_type = T.StructType(
+        [
+            T.StructField("classID", T.StringType()),
+            T.StructField("score", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _classify(s_col: pd.Series, values: pd.Series) -> pd.DataFrame:
+        class_out = np.empty(len(values), dtype=object)
+        score_out = np.zeros(len(values), dtype=np.int64)
+        sample_map = bc.value
+        for s in pd.unique(s_col):
+            rs = sample_map[int(s)]
+            n = len(rs)
+            mask = (s_col == s).to_numpy()
+            vals = values[mask]
+            # classify each DISTINCT value once (names/cities repeat heavily)
+            uniq = pd.unique(vals)
+            uq = np.asarray(uniq, dtype=object)
+            pos = prefix_binary_search_batch(rs, uq, nsc, n)
+            d2 = levenshtein_batch(uq, rs[pos])
+            # d1 only when pos-1 > 0 (STRICT: index 0 never considered,
+            # ReferenceSetBlocking.java:169)
+            has_d1 = pos - 1 > 0
+            d1 = np.full(len(uq), 1_000_000, dtype=np.int64)
+            if has_d1.any():
+                d1[has_d1] = levenshtein_batch(uq[has_d1], rs[pos[has_d1] - 1])
+            use_d1 = d1 < d2
+            cls_pos = np.where(use_d1, pos, pos + 1)
+            score = np.where(use_d1, d1, d2)
+            prefix = f"S{int(s)}."
+            table = {
+                v: (prefix + str(int(p)), int(sc))
+                for v, p, sc in zip(uniq, cls_pos, score)
+            }
+            mapped = vals.map(table)
+            class_out[mask] = [t[0] for t in mapped]
+            score_out[mask] = [t[1] for t in mapped]
+        return pd.DataFrame({"classID": class_out, "score": score_out})
+
+    unpivoted = unpivot_records(records, cfg)
+    grid = unpivoted.select(
+        "recordID",
+        "party",
+        "value",
+        F.explode(
+            F.sequence(
+                (F.col("attr_idx") - 1) * num_samples + 1,
+                F.col("attr_idx") * num_samples,
+            )
+        ).alias("s"),
+    )
+    return grid.select(
+        "recordID",
+        "party",
+        F.col("s").cast("int").alias("s"),
+        _classify("s", "value").alias("c"),
+    ).select("recordID", "party", "s", F.col("c.classID").alias("classID"), F.col("c.score").alias("score"))

@@ -1,0 +1,90 @@
+"""Bloom-filter encoding of records and Dice matching of candidate pairs
+(the reference's ``MetaBlocking.createBloomFilters`` / ``isMatch``,
+/root/reference/src/main/java/com/algorithms/MetaBlocking.java:31-43,79-119).
+
+Scale design:
+* Encoding runs ONCE per record (pandas UDF over Arrow batches, memoized
+  q-gram hashing) and materializes per-attribute filter cardinalities, so
+  the per-PAIR work is join + pure-Catalyst bitset math only.
+* The two attach-joins (pairs × AliceBlooms, pairs × BobBlooms,
+  MetaBlocking.java:37-41) are plain shuffled equi-joins; the bloom side is
+  repartitioned on the join key so AQE can coalesce/skew-split. On a real
+  cluster the bloom table would be bucketed by recordID (SURVEY.md §2.3).
+* ``isMatch`` becomes a whole-stage-codegen expression: per attribute
+  ``2*|a∧b| >= t*(|a|+|b|)`` (division-free, exact for dyadic t) with the
+  NaN-guard for empty filters; match iff >= ``matches_to_accept`` attributes
+  pass (MetaBlocking.java:98-104).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PPRLConfig
+from ..functions import bloom
+
+
+def encode_blooms(records: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """(id, party, attr1..attrN, …) -> (recordID, party, bloom_i, card_i).
+
+    One filter per blocking attribute (MetaBlocking.java:83-85); cardinality
+    precomputed so Dice needs no per-pair popcount of the operands.
+    """
+    udf = bloom.bloom_udf(cfg)
+    out = records.select(
+        F.col(cfg.id_col).cast("string").alias("recordID"),
+        "party",
+        *[udf(F.col(a).cast("string")).alias(f"bloom_{i+1}") for i, a in enumerate(cfg.blocking_attrs)],
+    )
+    for i in range(cfg.num_attrs):
+        out = out.withColumn(f"card_{i+1}", bloom.popcount_expr(f"bloom_{i+1}"))
+    return out
+
+
+def match_candidates(
+    pairs: DataFrame,
+    blooms: DataFrame,
+    cfg: PPRLConfig,
+    keep_similarities: bool = False,
+) -> DataFrame:
+    """(record1, record2) × blooms -> matched pairs.
+
+    record1 joins the Alice-side filters, record2 the Bob-side
+    (MetaBlocking.java:37-41).
+    """
+    n = cfg.num_attrs
+    blooms_a = blooms.where(F.col("party") == "A").select(
+        F.col("recordID").alias("record1"),
+        *[F.col(f"bloom_{i+1}").alias(f"bloomA_{i+1}") for i in range(n)],
+        *[F.col(f"card_{i+1}").alias(f"cardA_{i+1}") for i in range(n)],
+    )
+    blooms_b = blooms.where(F.col("party") == "B").select(
+        F.col("recordID").alias("record2"),
+        *[F.col(f"bloom_{i+1}").alias(f"bloomB_{i+1}") for i in range(n)],
+        *[F.col(f"card_{i+1}").alias(f"cardB_{i+1}") for i in range(n)],
+    )
+    joined = pairs.join(blooms_a, "record1", "inner").join(blooms_b, "record2", "inner")
+
+    passes = []
+    sims = []
+    for i in range(1, n + 1):
+        inter = bloom.intersection_count_expr(
+            F.col(f"bloomA_{i}"), F.col(f"bloomB_{i}")
+        )
+        passes.append(
+            bloom.dice_pass_expr(
+                inter, F.col(f"cardA_{i}"), F.col(f"cardB_{i}"), cfg.matching_threshold
+            ).cast("int")
+        )
+        if keep_similarities:
+            sims.append(
+                bloom.dice_sim_expr(
+                    inter, F.col(f"cardA_{i}"), F.col(f"cardB_{i}")
+                ).alias(f"dice_{i}")
+            )
+
+    matched_fields = sum(passes[1:], passes[0]).alias("matched_fields")
+    cols = ["record1", "record2"]
+    result = joined.select(*cols, matched_fields, *sims)
+    return result.where(F.col("matched_fields") >= cfg.matches_to_accept)

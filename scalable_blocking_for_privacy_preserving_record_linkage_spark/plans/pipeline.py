@@ -1,0 +1,137 @@
+"""End-to-end PPRL pipeline (the reference's ``Simulator.main``,
+/root/reference/src/main/java/com/simulator/Simulator.java:21-58, rebuilt
+Spark-first).
+
+Stage graph (shuffles annotated; compare the reference's six, SURVEY.md §3):
+
+  records ──(normalize: narrow)──► classify (pandas UDF: narrow)
+          ──(groupBy recordID: SHUFFLE 1)──► block_ids (narrow)
+          ──(count+semi-join purge: SHUFFLE 2)
+          ──(groupBy blockID applyInPandas: SHUFFLE 3)──► candidate pairs
+          ──(distinct: SHUFFLE 4)
+          ──(join blooms ×2: SHUFFLES 5,6)──► matches (codegen Dice filter)
+          ──(iterative CC joins)──► clusters
+
+The reference's 12-way classify-union collapses into the single exploded
+grid pass (classify.py), and its two per-party block groupBys + inner join
+collapse into one groupBy + purge semi-join — strictly fewer shuffles on
+strictly slimmer rows.
+
+Every stage can checkpoint to Parquet (Iceberg in production) with a
+lineage manifest; a rerun with the same config resumes after the last
+completed stage (north-star resumability requirement).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import PPRLConfig
+from ..operators import blocking, classify, clustering, matching, window
+from ..operators.evaluate import LinkageMetrics, evaluate
+from ..sources import extract
+from ..sources.io import checkpoint_stage
+
+
+@dataclass
+class PipelineResult:
+    records: DataFrame
+    classified: DataFrame
+    elements: DataFrame
+    candidates: DataFrame
+    blooms: DataFrame
+    matches: DataFrame
+    components: DataFrame | None
+    metrics: LinkageMetrics | None
+    timings: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    records: DataFrame,
+    reference_sets: DataFrame,
+    cfg: PPRLConfig,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    with_clusters: bool = True,
+    with_metrics: bool = True,
+) -> PipelineResult:
+    """records: (id, surname, name, city, party); reference_sets: (col1..colN)."""
+    ph = cfg.params_hash()
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = checkpoint_stage(fn, spark, checkpoint_dir, name, ph, resume)
+        timings[name] = time.time() - t0
+        return out
+
+    normalized = extract.normalize_records(records, cfg).cache()
+
+    n_alice = normalized.where("party = 'A'").count()
+    n_bob = normalized.where("party = 'B'").count()
+    db_size = max(n_alice, n_bob)
+
+    samples = classify.build_reference_samples(reference_sets, cfg, db_size)
+
+    classified = timed("classified", lambda: classify.classify(spark, normalized, samples, cfg))
+    elements = timed(
+        "block_elements",
+        lambda: blocking.purge_blocks(blocking.block_ids(classified, cfg), cfg),
+    )
+    candidates = timed("candidates", lambda: window.candidate_pairs(elements, cfg))
+    blooms = timed("blooms", lambda: matching.encode_blooms(normalized, cfg))
+    matches = timed(
+        "matches", lambda: matching.match_candidates(candidates, blooms, cfg)
+    )
+    if checkpoint_dir is None and (with_clusters or with_metrics):
+        # the reference caches matches before its double count
+        # (Simulator.java:50); without a durable checkpoint we truncate
+        # lineage locally so clustering/metrics don't re-run the whole DAG
+        candidates = candidates.localCheckpoint()
+        matches = matches.localCheckpoint()
+
+    components = None
+    if with_clusters:
+        t0 = time.time()
+        components = clustering.connected_components(matches)
+        timings["components"] = time.time() - t0
+
+    metrics = None
+    if with_metrics:
+        t0 = time.time()
+        # expected matches = |ids on both sides| (ground truth: id equality,
+        # Simulator.java:62; the reference derives it as DB_SIZE*COMMON_RECORDS
+        # from its file construction, Conf.java:54-55)
+        a_ids = normalized.where("party = 'A'").select("id")
+        b_ids = normalized.where("party = 'B'").select("id")
+        expected = a_ids.intersect(b_ids).count()
+        metrics = evaluate(matches, candidates, n_alice, n_bob, expected)
+        timings["metrics"] = time.time() - t0
+
+    return PipelineResult(
+        records=normalized,
+        classified=classified,
+        elements=elements,
+        candidates=candidates,
+        blooms=blooms,
+        matches=matches,
+        components=components,
+        metrics=metrics,
+        timings=timings,
+    )
+
+
+def run_pipeline_from_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    reference_sets: DataFrame,
+    cfg: PPRLConfig,
+    **kw,
+) -> PipelineResult:
+    """North-star entry: pages (url, warc_ts, html, text, lang) in."""
+    records = extract.records_from_pages(pages, cfg)
+    return run_pipeline(spark, records, reference_sets, cfg, **kw)

@@ -1,0 +1,181 @@
+"""Deterministic fixture generators (FIXTURES.md).
+
+Everything derives from one seed; the reference's unseeded ``SecureRandom``
+sampling makes its outputs non-reproducible (SURVEY.md §2.8.2), so golden
+tests are only possible against a seeded re-generation. Values are
+uppercase ASCII (charset pitfall, SURVEY.md §2.8.5).
+
+The north-star input shape is the Common-Crawl-style ``pages`` table
+(url, warc_ts, html, text, lang) from BASELINE.json ``input_hint``; the two
+linkage parties are slices of it. ``html`` embeds ``text`` so the
+extractor invariant (byte-identical extracted text per url) is testable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_SYLLABLES = [
+    "BA", "BE", "BO", "DA", "DE", "DI", "FA", "KO", "LA", "LE", "MA", "ME",
+    "MI", "NA", "NO", "PA", "PE", "RA", "RO", "SA", "SE", "TA", "TO", "VA", "ZO",
+]
+
+
+def make_vocab(n: int, syllables_per_word: int, seed: int) -> list[str]:
+    combos = ["".join(c) for c in itertools.product(_SYLLABLES, repeat=syllables_per_word)]
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(combos))[:n]
+    return [combos[i] for i in sorted(idx)]
+
+
+def _perturb(word: str, rng: np.random.Generator) -> str:
+    """One seeded character substitution (typo model for the B side)."""
+    if len(word) < 2:
+        return word
+    i = int(rng.integers(0, len(word)))
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    repl = letters[int(rng.integers(0, 26))]
+    return word[:i] + repl + word[i + 1 :]
+
+
+def generate_party_records(
+    n_per_party: int,
+    overlap: float = 0.25,
+    typo_rate: float = 0.05,
+    seed: int = 42,
+    null_rate: float = 0.0,
+) -> pd.DataFrame:
+    """Records for both parties: (id, surname, name, city, party).
+
+    The first ``int(n*overlap)`` entities exist on BOTH sides (ground truth =
+    equal ids, Simulator.java:62); B-side copies of shared entities get a
+    seeded typo in one attribute with probability ``typo_rate``.
+    """
+    rng = np.random.default_rng(seed)
+    surnames = np.array(make_vocab(600, 3, seed + 1))
+    names = np.array(make_vocab(400, 2, seed + 2))
+    cities = np.array(make_vocab(200, 2, seed + 3))
+
+    n_overlap = int(n_per_party * overlap)
+    n_entities = 2 * n_per_party - n_overlap
+    ent_surname = surnames[rng.integers(0, len(surnames), n_entities)]
+    ent_name = names[rng.integers(0, len(names), n_entities)]
+    ent_city = cities[rng.integers(0, len(cities), n_entities)]
+    ids = np.array([f"R{i:07d}" for i in range(n_entities)])
+
+    a_idx = np.arange(0, n_per_party)
+    b_idx = np.concatenate(
+        [np.arange(0, n_overlap), np.arange(n_per_party, n_entities)]
+    )
+
+    rows = []
+    for party, idxs in (("A", a_idx), ("B", b_idx)):
+        sur = ent_surname[idxs].copy()
+        nam = ent_name[idxs].copy()
+        cit = ent_city[idxs].copy()
+        if party == "B" and typo_rate > 0:
+            shared = idxs < n_overlap
+            hit = shared & (rng.random(len(idxs)) < typo_rate)
+            for j in np.flatnonzero(hit):
+                attr = int(rng.integers(0, 3))
+                if attr == 0:
+                    sur[j] = _perturb(sur[j], rng)
+                elif attr == 1:
+                    nam[j] = _perturb(nam[j], rng)
+                else:
+                    cit[j] = _perturb(cit[j], rng)
+        pdf = pd.DataFrame(
+            {
+                "id": ids[idxs],
+                "surname": sur,
+                "name": nam,
+                "city": cit,
+                "party": party,
+            }
+        )
+        rows.append(pdf)
+    out = pd.concat(rows, ignore_index=True)
+    if null_rate > 0:
+        nulls = rng.random(len(out)) < null_rate
+        for j in np.flatnonzero(nulls):
+            out.iloc[j, 1 + int(rng.integers(0, 3))] = None
+    return out
+
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ]
+)
+
+
+def records_to_pages(records: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
+    """Wrap party records into the north-star pages shape.
+
+    ``text`` is a pure function of the record (hence of the url) and ``html``
+    embeds exactly ``text`` — the extractor must recover it byte-identically.
+    """
+    rng = np.random.default_rng(seed + 77)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    recs = records.fillna({"surname": "", "name": "", "city": ""})
+    text = recs["surname"] + " " + recs["name"] + " " + recs["city"]
+    url = (
+        "http://"
+        + recs["party"].str.lower()
+        + ".example.org/page/"
+        + recs["id"]
+    )
+    offsets = rng.integers(0, 365 * 24 * 3600, len(recs))
+    return pd.DataFrame(
+        {
+            "url": url,
+            "warc_ts": [base + dt.timedelta(seconds=int(o)) for o in offsets],
+            "html": [
+                ("<html><head></head><body>" + t + "</body></html>").encode("utf-8")
+                for t in text
+            ],
+            "text": text,
+            "lang": "en",
+        }
+    )
+
+
+def generate_reference_sets(seed: int = 42) -> pd.DataFrame:
+    """Public reference table (col1..col3) — the blocking vocabularies
+    themselves (SQLData.java:46-51 loads an external public table; ours is
+    the seeded vocabulary, which is public by construction)."""
+    surnames = make_vocab(600, 3, seed + 1)
+    names = make_vocab(400, 2, seed + 2)
+    cities = make_vocab(200, 2, seed + 3)
+    n = max(len(surnames), len(names), len(cities))
+
+    def pad(v: list[str]) -> list:
+        return v + [None] * (n - len(v))
+
+    return pd.DataFrame({"col1": pad(surnames), "col2": pad(names), "col3": pad(cities)})
+
+
+def spark_pages(spark: SparkSession, n_per_party: int, **kw) -> DataFrame:
+    recs = generate_party_records(n_per_party, **kw)
+    return spark.createDataFrame(records_to_pages(recs, seed=kw.get("seed", 42)), schema=PAGES_SCHEMA)
+
+
+def spark_records(spark: SparkSession, n_per_party: int, **kw) -> DataFrame:
+    return spark.createDataFrame(generate_party_records(n_per_party, **kw))
+
+
+def spark_reference_sets(spark: SparkSession, seed: int = 42) -> DataFrame:
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in ("col1", "col2", "col3")]
+    )
+    return spark.createDataFrame(generate_reference_sets(seed), schema=schema)
