@@ -1,0 +1,106 @@
+"""Golden end-to-end pipeline tests + invariants (SURVEY.md §5.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.config import PPRLConfig
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import clustering
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans.pipeline import (
+    run_pipeline,
+    run_pipeline_from_pages,
+)
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import (
+    extract,
+    fixtures,
+)
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    """1k/party, 100% overlap (mirrors the reference's 1k configuration,
+    Conf.java:54), 5% seeded typos on the B side."""
+    cfg = PPRLConfig(rs_size_override=20)
+    recs = fixtures.spark_records(spark, 1000, overlap=1.0, typo_rate=0.05, seed=42)
+    rs = fixtures.spark_reference_sets(spark, seed=42)
+    return run_pipeline(spark, recs, rs, cfg)
+
+
+def test_golden_f1(golden):
+    m = golden.metrics
+    assert m.pairs_completeness >= 0.99
+    assert m.f1 >= 0.99
+    assert 0.0 < m.reduction_ratio < 1.0
+
+
+def test_golden_match_columns(golden):
+    # record1 = Alice id, record2 = Bob id (MetaBlocking.java:64-68)
+    a_ids = {r["id"] for r in golden.records.where("party='A'").select("id").collect()}
+    b_ids = {r["id"] for r in golden.records.where("party='B'").select("id").collect()}
+    sample = golden.matches.limit(50).collect()
+    assert all(r["record1"] in a_ids and r["record2"] in b_ids for r in sample)
+
+
+def test_golden_clusters(golden):
+    comps = clustering.clusters_table(golden.components)
+    # matched nodes are namespaced A:/B: and every cluster has >= 2 members
+    first = comps.orderBy(F.desc("size")).first()
+    assert first["size"] >= 2
+    assert all(m[:2] in ("A:", "B:") for m in first["members"])
+
+
+def test_partition_invariance(spark):
+    """Output must not depend on input partitioning (NOT true of the
+    reference — its collect_list pairing is shuffle-dependent; our sort fix
+    makes this assertable, SURVEY.md §2.8.1)."""
+    cfg = PPRLConfig(rs_size_override=10, seed=3)
+    rs = fixtures.spark_reference_sets(spark, seed=3)
+
+    def matches_with(nparts):
+        recs = fixtures.spark_records(spark, 200, overlap=1.0, seed=3).repartition(nparts)
+        res = run_pipeline(spark, recs, rs, cfg, with_clusters=False, with_metrics=False)
+        return sorted(
+            (r["record1"], r["record2"])
+            for r in res.matches.select("record1", "record2").collect()
+        )
+
+    assert matches_with(1) == matches_with(13)
+
+
+def test_pages_extractor_invariant(spark):
+    pages = fixtures.spark_pages(spark, 300, overlap=0.25, typo_rate=0.0, seed=9)
+    bad = pages.where(extract.extract_text(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+
+
+def test_pages_end_to_end(spark):
+    cfg = PPRLConfig(rs_size_override=15, seed=9)
+    pages = fixtures.spark_pages(spark, 300, overlap=0.25, typo_rate=0.0, seed=9)
+    rs = fixtures.spark_reference_sets(spark, seed=9)
+    res = run_pipeline_from_pages(spark, pages, rs, cfg, with_clusters=False)
+    assert res.metrics.pairs_completeness == 1.0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    cfg = PPRLConfig(rs_size_override=10, seed=5)
+    recs = fixtures.spark_records(spark, 150, overlap=0.5, seed=5)
+    rs = fixtures.spark_reference_sets(spark, seed=5)
+    d = str(tmp_path / "ckpt")
+    r1 = run_pipeline(spark, recs, rs, cfg, checkpoint_dir=d, with_clusters=False)
+    n1 = r1.matches.count()
+    # second run resumes from checkpoints (same params hash) and agrees
+    r2 = run_pipeline(spark, recs, rs, cfg, checkpoint_dir=d, with_clusters=False)
+    assert r2.matches.count() == n1
+    # changed params invalidate the checkpoint (different hash)
+    cfg2 = PPRLConfig(rs_size_override=10, seed=5, window_size=3)
+    r3 = run_pipeline(spark, recs, rs, cfg2, checkpoint_dir=str(tmp_path / "ckpt2"), with_clusters=False)
+    assert r3.matches is not None
+
+
+def test_null_attrs_dropped(spark):
+    cfg = PPRLConfig(rs_size_override=10, seed=7)
+    recs = fixtures.spark_records(spark, 200, overlap=0.5, seed=7, null_rate=0.1)
+    rs = fixtures.spark_reference_sets(spark, seed=7)
+    res = run_pipeline(spark, recs, rs, cfg, with_clusters=False)
+    # normalized records contain no null/empty blocking attrs
+    for attr in cfg.blocking_attrs:
+        assert res.records.where(F.col(attr).isNull() | (F.length(attr) == 0)).count() == 0
