@@ -1,38 +1,535 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship PPRL pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + the training-data extensions); ``oracle_sql()`` gives the
+DuckDB twin for every SQL-expressible one. PPRL stages that are not
+SQL-expressible (binary-search classification, adaptive window, MD5-bitset
+Dice, iterative clustering) are rows-only — their correctness is pinned by
+the unit/golden tests in tests/ instead (SURVEY.md §5.2).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.config import PPRLConfig
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.functions import (
+    hashing,
+    text as tx,
+)
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+    blocking,
+    classify,
+    clustering,
+    dedup,
+    matching,
+    similarity,
+    window,
+)
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans import testdata
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans.pipeline import (
+    run_pipeline,
+)
+
+CFG = testdata.TESTDATA_CFG
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# PPRL pipeline stages over the documents-derived parties
+# ---------------------------------------------------------------------------
+
+
+def _pprl_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return testdata.records_from_documents(testdata.documents(spark, sf_dir))
+
+
+def _pprl_pipeline(spark: SparkSession, sf_dir: str):
+    records = _pprl_records(spark, sf_dir)
+    rs = testdata.reference_sets_from_records(records, CFG)
+    return run_pipeline(
+        spark, records, rs, CFG, with_clusters=True, with_metrics=False
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PPRL pipeline (classify -> block -> window -> Dice)
+    over parties derived from sf0.001 documents; returns the match pairs."""
+    res = _pprl_pipeline(spark, "/root/testdata/sf0.001")
+    return res.matches.select("record1", "record2", "matched_fields")
+
+
+def _q_pprl_records(spark, sf_dir):
+    return _pprl_records(spark, sf_dir)
+
+
+def _q_pprl_classified(spark, sf_dir):
+    records = _pprl_records(spark, sf_dir)
+    rs = testdata.reference_sets_from_records(records, CFG)
+    db = max(
+        records.where("party='A'").count(), records.where("party='B'").count()
+    )
+    samples = classify.build_reference_samples(rs, CFG, db)
+    out = classify.classify(spark, records, samples, CFG)
+    return out.groupBy("party", "s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score").alias("score_sum"),
+        F.count(F.when(F.col("score") == 0, 1)).alias("n_exact"),
+    )
+
+
+def _q_pprl_block_elements(spark, sf_dir):
+    records = _pprl_records(spark, sf_dir)
+    rs = testdata.reference_sets_from_records(records, CFG)
+    db = max(
+        records.where("party='A'").count(), records.where("party='B'").count()
+    )
+    samples = classify.build_reference_samples(rs, CFG, db)
+    classified = classify.classify(spark, records, samples, CFG)
+    elements = blocking.purge_blocks(blocking.block_ids(classified, CFG), CFG)
+    return elements.groupBy("party").agg(
+        F.count(F.lit(1)).alias("n_elements"),
+        F.countDistinct("blockID").alias("n_blocks"),
+    )
+
+
+def _q_pprl_candidates(spark, sf_dir):
+    res = _pprl_pipeline(spark, sf_dir)
+    return res.candidates
+
+
+def _q_pprl_matches(spark, sf_dir):
+    res = _pprl_pipeline(spark, sf_dir)
+    return res.matches.select("record1", "record2", "matched_fields")
+
+
+def _q_pprl_clusters(spark, sf_dir):
+    res = _pprl_pipeline(spark, sf_dir)
+    return clustering.clusters_table(res.components).select(
+        "component", F.col("size")
+    )
+
+
+def _q_pprl_bloom_cardinality(spark, sf_dir):
+    records = _pprl_records(spark, sf_dir)
+    blooms = matching.encode_blooms(records, CFG)
+    per_attr = F.array(
+        *[
+            F.struct(F.lit(i + 1).alias("attr"), F.col(f"card_{i+1}").alias("card"))
+            for i in range(CFG.num_attrs)
+        ]
+    )
+    return (
+        blooms.select("recordID", "party", F.explode(per_attr).alias("x"))
+        .select(
+            F.col("recordID").alias("id"),
+            "party",
+            F.col("x.attr").alias("attr"),
+            F.col("x.card").alias("card"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (P/J/A/U/O of SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def _q_rel_project_filter(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_u"),
+        "c_acctbal",
+        "c_mktsegment",
+    ).where(F.col("c_acctbal") > 100)
+
+
+def _q_rel_distinct_norm(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(F.upper("source").alias("source_u"))
+        .where(F.length("source_u") > 1)
+        .distinct()
+    )
+
+
+def _q_rel_groupby_collect(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.col("doc_id").cast("string")))
+        ).alias("doc_ids"),
+    )
+
+
+def _q_rel_join_agg(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def _q_rel_union_all(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    even = d.where(F.col("doc_id") % 2 == 0).select("doc_id", F.lit("even").alias("tag"))
+    odd = d.where(F.col("doc_id") % 2 == 1).select("doc_id", F.lit("odd").alias("tag"))
+    return even.unionAll(odd).groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_rel_topk(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def _q_rel_cyclic_block_ids(spark, sf_dir):
+    """The D2 cyclic-pairing shape expressed relationally over lineitem
+    (window lead + first_value wrap), cross-checked in SQL."""
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    nxt = F.coalesce(F.lead("l_linenumber").over(w), F.first("l_linenumber").over(w))
+    pairs = li.select(
+        "l_orderkey",
+        F.least(F.col("l_linenumber"), nxt).alias("lo"),
+        F.greatest(F.col("l_linenumber"), nxt).alias("hi"),
+    )
+    return pairs.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_rel_agg_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text analysis (training-data extensions)
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_read(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash_sig(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").where(F.length("text") >= 5)
+    sigs = dedup.minhash_signatures(d, num_hashes=8, shingle_q=5)
+    return sigs.select(
+        "doc_id", F.posexplode("signature").alias("h", "minhash")
+    )
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").where(F.length("text") >= 5)
+    return dedup.minhash_lsh_pairs(d, num_hashes=8, num_bands=4, shingle_q=5)
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 60) & (F.length("text") >= 3)
+    )
+    return dedup.ngram_jaccard_pairs(d, q=3, threshold=0.2)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=16)
+
+
+def _q_text_token_stats(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    toks = tx.tokens_expr(F.col("text"))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        F.when(n > 0, F.round(total_len / n, 4)).otherwise(F.lit(0.0)).alias("avg_token_len"),
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(tx.punct_ratio_expr(F.col("text")), 4).alias("punct_ratio"),
+        F.round(tx.digit_ratio_expr(F.col("text")), 4).alias("digit_ratio"),
+        F.round(tx.quality_score_expr(F.col("text")), 4).alias("quality"),
+    )
+
+
+def _q_text_langid(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(tx.stopword_ratio_expr(F.col("text")), 4).alias("stopword_ratio"),
+        tx.langid_expr(F.col("text")).alias("lang_guess"),
+    )
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+def _q_emb_near_pairs(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    # embeddings are near-orthogonal (max within-label cosine ~0.47 at
+    # sf0.01), so the "near-dup" threshold is set where pairs exist
+    return similarity.cosine_near_pairs(e, bucket_col="label", threshold=0.35)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    return similarity.lsh_bucket_topk(e, e.where(F.col("vec_id") < 5), dim=dim, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # PPRL pipeline (documents-derived parties)
+        "pprl_records": _q_pprl_records,
+        "pprl_classified": _q_pprl_classified,
+        "pprl_block_elements": _q_pprl_block_elements,
+        "pprl_candidates": _q_pprl_candidates,
+        "pprl_matches": _q_pprl_matches,
+        "pprl_clusters": _q_pprl_clusters,
+        "pprl_bloom_cardinality": _q_pprl_bloom_cardinality,
+        # relational operator coverage
+        "rel_project_filter": _q_rel_project_filter,
+        "rel_distinct_norm": _q_rel_distinct_norm,
+        "rel_groupby_collect": _q_rel_groupby_collect,
+        "rel_join_agg": _q_rel_join_agg,
+        "rel_union_all": _q_rel_union_all,
+        "rel_topk": _q_rel_topk,
+        "rel_cyclic_block_ids": _q_rel_cyclic_block_ids,
+        "rel_agg_pricing": _q_rel_agg_pricing,
+        # dedup / similarity / text analysis
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sig": _q_dedup_minhash_sig,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "emb_near_pairs": _q_emb_near_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORD_SQL_LIST = ",".join(f"'{w}'" for w in tx.EN_STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pprl_records": testdata.RECORDS_ORACLE_SQL,
+        "rel_project_filter": """
+            SELECT c_custkey, upper(c_name) AS name_u, c_acctbal, c_mktsegment
+            FROM customer WHERE c_acctbal > 100
+        """,
+        "rel_distinct_norm": """
+            SELECT DISTINCT upper(source) AS source_u
+            FROM documents WHERE len(upper(source)) > 1
+        """,
+        "rel_groupby_collect": """
+            SELECT lang, count(*) AS n_docs,
+                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
+            FROM documents GROUP BY lang
+        """,
+        "rel_join_agg": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "rel_union_all": """
+            SELECT tag, count(*) AS n FROM (
+              SELECT doc_id, 'even' AS tag FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, 'odd' AS tag FROM documents WHERE doc_id % 2 = 1
+            ) GROUP BY tag
+        """,
+        "rel_topk": """
+            SELECT rank, o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders
+            ) WHERE rank <= 10
+        """,
+        "rel_cyclic_block_ids": """
+            WITH w AS (
+              SELECT l_orderkey, l_linenumber,
+                     coalesce(
+                       lead(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber),
+                       first_value(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+                     ) AS nxt
+              FROM lineitem
+            )
+            SELECT least(l_linenumber, nxt) AS lo, greatest(l_linenumber, nxt) AS hi,
+                   count(*) AS n
+            FROM w GROUP BY lo, hi
+        """,
+        "rel_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS canonical_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_sig": """
+            WITH g AS (
+              SELECT doc_id, substr(text, i, 5) AS gram
+              FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 4)) AS i
+                    FROM documents WHERE len(text) >= 5)
+            ), hs AS (SELECT unnest(generate_series(0, 7)) AS h)
+            SELECT doc_id, h,
+                   min(('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || gram), 1, 8))::BIGINT) AS minhash
+            FROM g CROSS JOIN hs
+            GROUP BY doc_id, h
+        """,
+        "dedup_ngram_jaccard": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 60 AND len(text) >= 3
+            ), g AS (
+              SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
+              FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 2)) AS i FROM d)
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+              SELECT l.doc_id AS id1, r.doc_id AS id2, count(*) AS c
+              FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id < r.doc_id
+              GROUP BY l.doc_id, r.doc_id
+            )
+            SELECT id1, id2, round(c / (s1.n + s2.n - c), 4) AS jaccard
+            FROM inter
+            JOIN sz s1 ON s1.doc_id = id1
+            JOIN sz s2 ON s2.doc_id = id2
+            WHERE round(c / (s1.n + s2.n - c), 4) >= 0.2
+        """,
+        "text_token_stats": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            )
+            SELECT doc_id, len(toks) AS n_tokens, len(text) AS text_len,
+                   CASE WHEN len(toks) > 0
+                        THEN round(list_sum(list_transform(toks, x -> len(x))) / len(toks), 4)
+                        ELSE 0.0 END AS avg_token_len
+            FROM t
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   round(CASE WHEN len(text) > 0
+                         THEN len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / len(text)
+                         ELSE 0.0 END, 4) AS punct_ratio,
+                   round(CASE WHEN len(text) > 0
+                         THEN len(regexp_replace(text, '[^0-9]', '', 'g')) / len(text)
+                         ELSE 0.0 END, 4) AS digit_ratio,
+                   round(least(1.0, len(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+                                ELSE regexp_split_to_array(trim(text), '\\s+') END) / 20.0)
+                         * (1.0 - CASE WHEN len(text) > 0
+                                   THEN len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / len(text)
+                                   ELSE 0.0 END), 4) AS quality
+            FROM documents
+        """,
+        "text_langid": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) > 0
+                          THEN list_sum(list_transform(toks,
+                               x -> CASE WHEN x IN ({_STOPWORD_SQL_LIST}) THEN 1 ELSE 0 END)) * 1.0 / len(toks)
+                          ELSE 0.0 END AS ratio
+              FROM t
+            )
+            SELECT doc_id, round(ratio, 4) AS stopword_ratio,
+                   CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'unk' END AS lang_guess
+            FROM r
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(generate_series(1, len(text)),
+                                      i -> ascii(substr(text, i, 1))::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647
+                   ) AS fingerprint
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), s AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS cosine
+              FROM q, embeddings e WHERE e.vec_id <> query_id
+            ), r AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "emb_near_pairs": """
+            SELECT l.vec_id AS id1, r.vec_id AS id2,
+                   round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings l JOIN embeddings r
+              ON l.label = r.label AND l.vec_id < r.vec_id
+            WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+    }

@@ -1,0 +1,99 @@
+"""Text-analysis expressions for training-data pipelines — all pure
+Catalyst (JVM-side, whole-stage codegen), no UDFs.
+
+These extend the engine beyond the reference (which has only the three
+blocking attributes) to the document-scale operations a Common-Crawl-style
+corpus needs: token stats, quality scoring, language ID heuristics, and
+content fingerprinting. Every expression here has an exact ANSI-SQL
+equivalent (used as the DuckDB oracle in __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small fixed stopword lists for the n-gram/stopword language heuristic.
+EN_STOPWORDS = (
+    "the", "of", "and", "to", "a", "in", "is", "it", "you", "that", "was",
+    "for", "on", "are", "with", "as", "at", "be", "this", "have", "from",
+)
+
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array (not [''])."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def digit_ratio_expr(text: Column) -> Column:
+    digits = F.regexp_replace(text, r"[^0-9]", "")
+    return F.when(F.length(text) > 0, F.length(digits) / F.length(text)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio_expr(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens_expr(F.lower(text))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Heuristic [0,1] quality: long enough, low punctuation, some stopwords.
+
+    score = least(1, n_tokens/20) * (1 - punct_ratio) — deliberately simple
+    and exactly SQL-reproducible.
+    """
+    n = token_count_expr(text)
+    return F.least(F.lit(1.0), n / F.lit(20.0)) * (F.lit(1.0) - punct_ratio_expr(text))
+
+
+def langid_expr(text: Column, threshold: float = 0.08) -> Column:
+    """'en' when the English stopword ratio clears the threshold else 'unk'."""
+    return F.when(
+        stopword_ratio_expr(text) >= F.lit(threshold), F.lit("en")
+    ).otherwise(F.lit("unk"))
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Polynomial rolling hash of the ASCII codes: fold(acc*31 + code) mod p.
+
+    Deterministic content fingerprint with an exact SQL twin (list_reduce in
+    DuckDB). ASCII inputs only (the corpus text is ASCII word-salad).
+    """
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(text.substr(i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % F.lit(FINGERPRINT_MOD),
+    )
+
+
+def qgrams_expr(text: Column, q: int) -> Column:
+    """All overlapping character q-grams (array<string>); shorter text -> []."""
+    return F.when(F.length(text) < q, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (q - 1)),
+            lambda i: text.substr(i, F.lit(q)),
+        )
+    )
