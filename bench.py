@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "total_wall", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "pairs_scored": N, "pairs_scored_per_sec": N, ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect). The PPRL end-to-end run also reports
+candidate-pairs-scored/sec — the BASELINE.json throughput metric.
+
+Usage:  python bench.py            (or spark-submit bench.py)
+        SPARK_GRAFT_CPUS=8 python bench.py   # scaling-efficiency runs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans import (  # noqa: E402
+    testdata,
+)
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans.pipeline import (  # noqa: E402
+    run_pipeline,
+)
+
+# benched subset of __spark_entry__.queries(): the scale-sensitive ones
+BENCH_QUERIES = [
+    "rel_agg_pricing",      # 600k-row groupBy agg (TPC-H Q1 shape)
+    "rel_join_agg",         # broadcast join + agg
+    "rel_topk",             # global top-k window
+    "rel_cyclic_block_ids", # partitioned window lead/first_value
+    "dedup_minhash_lsh",    # minhash + band join
+    "dedup_simhash",        # simhash + hamming self-join
+    "text_quality",         # pure-Catalyst text scoring
+    "ann_cosine_topk",      # brute-force cosine top-k
+]
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pprl-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def force(df) -> None:
+    """Force full evaluation without moving rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- PPRL end-to-end (flagship): classify -> block -> window -> Dice ---
+    t0 = time.time()
+    records = testdata.records_from_documents(testdata.documents(spark, sf_dir))
+    rs = testdata.reference_sets_from_records(records, testdata.TESTDATA_CFG)
+    res = run_pipeline(
+        spark, records, rs, testdata.TESTDATA_CFG,
+        with_clusters=True, with_metrics=False,
+    )
+    pairs_scored = res.candidates.count()
+    n_matches = res.matches.count()
+    n_clusters = res.components.select("component").distinct().count()
+    timings["pprl_e2e"] = time.time() - t0
+
+    # --- analytics / dedup / similarity headliners ---
+    qmap = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(qmap[name](spark, sf_dir))
+        timings[name] = time.time() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "pairs_scored": pairs_scored,
+        "pairs_scored_per_sec": round(pairs_scored / timings["pprl_e2e"], 1),
+        "matches": n_matches,
+        "clusters": n_clusters,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
