@@ -425,13 +425,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_sig": """
             WITH g AS (
-              SELECT doc_id, substr(text, i, 5) AS gram
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS gram
               FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 4)) AS i
                     FROM documents WHERE len(text) >= 5)
+            ), b AS (
+              SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS base FROM g
             ), hs AS (SELECT unnest(generate_series(0, 7)) AS h)
             SELECT doc_id, h,
-                   min(('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || gram), 1, 8))::BIGINT) AS minhash
-            FROM g CROSS JOIN hs
+                   min(((2*h + 1) * base + (h * 2654435761) % 4294967311) % 4294967311) AS minhash
+            FROM b CROSS JOIN hs
             GROUP BY doc_id, h
         """,
         "dedup_ngram_jaccard": """

@@ -26,23 +26,47 @@ def md5_int_expr(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
 
 
-def minhash_signature_expr(text: Column, num_hashes: int, shingle_q: int) -> Column:
-    """MinHash over character shingles: sig[h] = min over shingles of
-    md5_int(h || ':' || shingle). Returns array<bigint> of length num_hashes.
+# prime just above 2^32; affine constants keep A*base + B < 2^37 « int64
+MINHASH_PRIME = 4294967311
 
-    One expression tree, no UDF — each hash is an aggregate over the
-    shingle array (array_min of the transformed array).
+
+def minhash_a(h: int) -> int:
+    return 2 * h + 1
+
+
+def minhash_b(h: int) -> int:
+    return (h * 2654435761) % MINHASH_PRIME
+
+
+def minhash_base_expr(text: Column, shingle_q: int) -> Column:
+    """array<bigint> of ONE md5-derived base hash per DISTINCT shingle.
+
+    The expensive digest runs once per distinct q-gram; the ``num_hashes``
+    MinHash values are cheap affine transforms of these bases
+    (``minhash_from_bases_expr``). Project this into its own column before
+    fanning out — Catalyst will not collapse the projection because the
+    higher-order transform is non-cheap, so the digests are not recomputed
+    per hash function.
     """
-    shingles = qgrams_expr(text, shingle_q)
+    return F.transform(F.array_distinct(qgrams_expr(text, shingle_q)), md5_int_expr)
 
-    def hash_fn(h: int):
-        # NB: must stay a ONE-argument lambda — a second (defaulted) param
-        # would make pyspark's transform() pass the array index into it
-        prefix = f"{h}:"
-        return lambda g: md5_int_expr(F.concat(F.lit(prefix), g))
+
+def minhash_from_bases_expr(bases: Column, num_hashes: int) -> Column:
+    """sig[h] = min over shingles of (A_h * base + B_h) mod P.
+
+    Classic universal-hash MinHash (Broder): a single strong base hash per
+    shingle plus per-function affine maps — 8× fewer digests than hashing
+    every (h, shingle) pair, identical collision behavior for LSH.
+    SQL twin: ``min((a*base + b) % 4294967311)`` over the same base hashes.
+    """
+    def affine(h: int):
+        # must stay a ONE-argument lambda — a second (defaulted) param would
+        # make pyspark's transform() pass the array index into it
+        a, c = minhash_a(h), minhash_b(h)
+        return lambda b: (b * a + c) % MINHASH_PRIME
 
     return F.array(
-        *[F.array_min(F.transform(shingles, hash_fn(h))) for h in range(num_hashes)]
+        *[F.array_min(F.transform(bases, affine(h))) for h in range(num_hashes)]
     )
 
 

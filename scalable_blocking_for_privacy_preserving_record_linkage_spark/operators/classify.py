@@ -44,19 +44,19 @@ def build_reference_samples(
     (ReferenceSetBlocking.java:31,67).
     """
     rs_size = max(1, cfg.rs_size(db_size))
+    # ONE driver pull for all attribute columns (the reference runs one
+    # collectAsList job per attribute, ReferenceSetBlocking.java:33-36)
+    cols = [f"col{i}" for i in range(1, cfg.num_attrs + 1)]
+    pdf = reference_sets.select(*cols).toPandas()
     samples: dict[int, np.ndarray] = {}
     s = 1
-    for i in range(1, cfg.num_attrs + 1):
-        col = f"col{i}"
-        vals = (
-            reference_sets.select(col)
-            .na.drop()
-            .distinct()
-            .where(F.length(F.col(col)) > 1)
-            .select(F.upper(F.col(col)).alias("v"))
-            .toPandas()["v"]
-            .to_numpy()
-        )
+    for col in cols:
+        # distinct on RAW values, length filter, THEN uppercase — the
+        # reference's exact order (ReferenceSetBlocking.java:34-35); a
+        # case-colliding pair stays as two (equal) sample entries
+        vals = pdf[col].dropna().unique()
+        vals = vals[np.char.str_len(vals.astype(str)) > 1]
+        vals = np.char.upper(vals.astype(str)).astype(object)
         # canonical order before permuting so sampling is partition-invariant
         vals = np.sort(vals)
         for j in range(cfg.num_samples):

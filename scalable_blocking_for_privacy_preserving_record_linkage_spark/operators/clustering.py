@@ -47,17 +47,18 @@ def connected_components(
             adj.join(labels.withColumnRenamed("node", "v"), "v")
             .select(F.col("u").alias("node"), "component")
         )
+        # lazy checkpoint: materialized by the convergence count below —
+        # ONE job per iteration, lineage still truncated for the next round
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
         labels = new_labels

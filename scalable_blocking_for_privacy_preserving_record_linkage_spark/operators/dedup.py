@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing
 from ..functions.text import qgrams_expr
+from ..sources.io import ensure_parallelism
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -43,8 +44,14 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_q: int = 5,
 ) -> DataFrame:
-    sig = hashing.minhash_signature_expr(F.col(text_col), num_hashes, shingle_q)
-    return docs.select(F.col(id_col), sig.alias("signature"))
+    bases = ensure_parallelism(docs).select(
+        F.col(id_col),
+        hashing.minhash_base_expr(F.col(text_col), shingle_q).alias("_bases"),
+    )
+    return bases.select(
+        F.col(id_col),
+        hashing.minhash_from_bases_expr(F.col("_bases"), num_hashes).alias("signature"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -104,7 +111,7 @@ def simhash_near_pairs(
     chunk_value), then verify exact hamming <= max_hamming (Catalyst
     bit_count). Never an all-pairs comparison.
     """
-    sims = simhash_table(docs, id_col, text_col)
+    sims = simhash_table(ensure_parallelism(docs), id_col, text_col)
     bits_per = 64 // num_chunks
     mask = (1 << bits_per) - 1
     chunks = sims.select(
@@ -158,7 +165,7 @@ def ngram_jaccard_pairs(
     grams), |A∪B| = |A|+|B|-|A∩B|; only pairs sharing >= 1 gram ever
     materialize. Output: (id1, id2, jaccard rounded to 4).
     """
-    grams = docs.select(
+    grams = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(qgrams_expr(F.col(text_col), q))).alias("gram"),
     )

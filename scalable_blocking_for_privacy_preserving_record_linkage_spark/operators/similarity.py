@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_expr
+from ..sources.io import ensure_parallelism
 
 
 def brute_force_topk(
@@ -37,7 +38,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -111,7 +112,7 @@ def lsh_bucket_topk(
             sig = sig + F.when(dot > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
         return sig
 
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         bucket(F.col(vec_col)).alias("bucket"),

@@ -33,7 +33,7 @@ from ..config import PPRLConfig
 from ..operators import blocking, classify, clustering, matching, window
 from ..operators.evaluate import LinkageMetrics, evaluate
 from ..sources import extract
-from ..sources.io import checkpoint_stage
+from ..sources.io import checkpoint_stage, ensure_parallelism
 
 
 @dataclass
@@ -69,10 +69,14 @@ def run_pipeline(
         timings[name] = time.time() - t0
         return out
 
-    normalized = extract.normalize_records(records, cfg).cache()
+    normalized = ensure_parallelism(extract.normalize_records(records, cfg)).cache()
 
-    n_alice = normalized.where("party = 'A'").count()
-    n_bob = normalized.where("party = 'B'").count()
+    party_counts = {
+        r["party"]: r["count"]
+        for r in normalized.groupBy("party").count().collect()
+    }
+    n_alice = party_counts.get("A", 0)
+    n_bob = party_counts.get("B", 0)
     db_size = max(n_alice, n_bob)
 
     samples = classify.build_reference_samples(reference_sets, cfg, db_size)
@@ -83,15 +87,18 @@ def run_pipeline(
         lambda: blocking.purge_blocks(blocking.block_ids(classified, cfg), cfg),
     )
     candidates = timed("candidates", lambda: window.candidate_pairs(elements, cfg))
+    # the reference caches matches before its double count (Simulator.java:50);
+    # without a durable checkpoint we truncate lineage locally so downstream
+    # consumers (Dice join, clustering, metrics) never re-run the classify/
+    # window DAG — matches MUST be built from the checkpointed candidates
+    truncate = checkpoint_dir is None and (with_clusters or with_metrics)
+    if truncate:
+        candidates = candidates.localCheckpoint()
     blooms = timed("blooms", lambda: matching.encode_blooms(normalized, cfg))
     matches = timed(
         "matches", lambda: matching.match_candidates(candidates, blooms, cfg)
     )
-    if checkpoint_dir is None and (with_clusters or with_metrics):
-        # the reference caches matches before its double count
-        # (Simulator.java:50); without a durable checkpoint we truncate
-        # lineage locally so clustering/metrics don't re-run the whole DAG
-        candidates = candidates.localCheckpoint()
+    if truncate:
         matches = matches.localCheckpoint()
 
     components = None

@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 MANIFEST = "_MANIFEST.json"
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition narrow inputs up to the session's default parallelism.
+
+    Local test fixtures are single-row-group parquet files, so their scans
+    produce one partition and every downstream per-row stage (pandas-UDF
+    classify/encode, q-gram hashing) would run serially. On a real cluster
+    the scan arrives with adequate partitioning (many files / row groups)
+    and this is a no-op — the round-robin shuffle only fires when the
+    input is narrower than the available cores.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_checkpoint(
     df: DataFrame,
     path: str,
