@@ -27,8 +27,12 @@ from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators imp
     clustering,
     dedup,
     matching,
+    multimodal,
     similarity,
     window,
+)
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.streaming import (
+    jobs as streaming_jobs,
 )
 from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans import testdata
 from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans.pipeline import (
@@ -97,6 +101,23 @@ def _q_pprl_block_elements(spark, sf_dir):
     return elements.groupBy("party").agg(
         F.count(F.lit(1)).alias("n_elements"),
         F.countDistinct("blockID").alias("n_blocks"),
+    )
+
+
+def _q_pprl_edge_weights(spark, sf_dir):
+    """Meta-blocking CBS/ARCS edge-weight table over the purged blocks."""
+    records = _pprl_records(spark, sf_dir)
+    rs = testdata.reference_sets_from_records(records, CFG)
+    db = max(
+        records.where("party='A'").count(), records.where("party='B'").count()
+    )
+    samples = classify.build_reference_samples(rs, CFG, db)
+    classified = classify.classify(spark, records, samples, CFG)
+    elements = blocking.purge_blocks(blocking.block_ids(classified, CFG), CFG)
+    w = window.candidate_edge_weights(elements, CFG)
+    return w.groupBy("cbs_weight").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("arcs_weight"), 4).alias("arcs_total"),
     )
 
 
@@ -323,12 +344,32 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, e.where(F.col("vec_id") < 5), dim=dim, k=5)
 
 
+def _q_events_windowed(spark, sf_dir):
+    """The streaming windowed rollup run on the batch events table —
+    identical code path (unified API), DuckDB-oracle-checkable."""
+    e = _read(spark, sf_dir, "events")
+    return streaming_jobs.windowed_event_counts(e)
+
+
+def _q_mm_features(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d)
+    return multimodal.extract_features(media)
+
+
+def _q_mm_frames(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d)
+    return multimodal.sample_frames(media, every=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # PPRL pipeline (documents-derived parties)
         "pprl_records": _q_pprl_records,
         "pprl_classified": _q_pprl_classified,
         "pprl_block_elements": _q_pprl_block_elements,
+        "pprl_edge_weights": _q_pprl_edge_weights,
         "pprl_candidates": _q_pprl_candidates,
         "pprl_matches": _q_pprl_matches,
         "pprl_clusters": _q_pprl_clusters,
@@ -355,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "emb_near_pairs": _q_emb_near_pairs,
+        # streaming (unified batch/stream code path) + multimodal
+        "events_windowed": _q_events_windowed,
+        "mm_features": _q_mm_features,
+        "mm_frames": _q_mm_frames,
     }
 
 
@@ -526,6 +571,15 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "emb_near_pairs": """
             SELECT l.vec_id AS id1, r.vec_id AS id2,

@@ -46,6 +46,11 @@ class PPRLConfig:
     rs_size_override: int | None = None          # explicit RS_SIZE, else fraction
     purge_max_block_size: int | None = 500       # drop blocks with more elements
     salt_buckets: int = 0                        # >0: salt hot groupBy keys
+    # meta-blocking edge pruning (north-star; reference has none):
+    # keep a candidate pair only if it co-occurs in >= min_cbs_weight blocks
+    # (CBS) and, if set, its sum of 1/|block| >= min_arcs_weight (ARCS)
+    min_cbs_weight: int = 1
+    min_arcs_weight: float | None = None
 
     @property
     def num_attrs(self) -> int:

@@ -35,6 +35,44 @@ from pyspark.sql import functions as F
 from ..config import PPRLConfig
 
 
+def _cyclic_pair_expr(arr_col: str = "arr"):
+    """Cyclic adjacent pairing over an s-ordered array<struct<s, classID,
+    score>> column — the createBlockIDs transform as one expression."""
+    arr = F.col(arr_col)
+    n = F.size(arr)
+    return F.transform(
+        arr,
+        lambda e, i: F.struct(
+            F.concat_ws(
+                "-",
+                F.least(
+                    e["classID"],
+                    F.element_at(arr, ((i + 1) % n) + 1)["classID"],
+                ),
+                F.greatest(
+                    e["classID"],
+                    F.element_at(arr, ((i + 1) % n) + 1)["classID"],
+                ),
+            ).alias("blockID"),
+            (e["score"] + F.element_at(arr, ((i + 1) % n) + 1)["score"]).alias(
+                "score"
+            ),
+        ),
+    )
+
+
+def _explode_pairs(grouped: DataFrame) -> DataFrame:
+    paired = grouped.select(
+        "recordID", "party", F.explode(_cyclic_pair_expr("arr")).alias("b")
+    )
+    return paired.select(
+        F.col("b.blockID").alias("blockID"),
+        "recordID",
+        "party",
+        F.col("b.score").alias("score"),
+    )
+
+
 def block_ids(classified: DataFrame, cfg: PPRLConfig) -> DataFrame:
     """(recordID, party, s, classID, score) -> (blockID, recordID, party, score).
 
@@ -43,39 +81,13 @@ def block_ids(classified: DataFrame, cfg: PPRLConfig) -> DataFrame:
     grouped = classified.groupBy("recordID", "party").agg(
         F.array_sort(F.collect_list(F.struct("s", "classID", "score"))).alias("arr")
     )
-    n = F.size(F.col("arr"))
-    paired = grouped.select(
-        "recordID",
-        "party",
-        F.explode(
-            F.transform(
-                F.col("arr"),
-                lambda e, i: F.struct(
-                    F.concat_ws(
-                        "-",
-                        F.least(
-                            e["classID"],
-                            F.element_at(F.col("arr"), ((i + 1) % n) + 1)["classID"],
-                        ),
-                        F.greatest(
-                            e["classID"],
-                            F.element_at(F.col("arr"), ((i + 1) % n) + 1)["classID"],
-                        ),
-                    ).alias("blockID"),
-                    (
-                        e["score"]
-                        + F.element_at(F.col("arr"), ((i + 1) % n) + 1)["score"]
-                    ).alias("score"),
-                ),
-            )
-        ).alias("b"),
-    )
-    return paired.select(
-        F.col("b.blockID").alias("blockID"),
-        "recordID",
-        "party",
-        F.col("b.score").alias("score"),
-    )
+    return _explode_pairs(grouped)
+
+
+def block_ids_from_arrays(classified_wide: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """Stateless variant over ``classify_wide`` output (recordID, party,
+    arr) — a pure projection, so it runs in streaming append mode."""
+    return _explode_pairs(classified_wide)
 
 
 def purge_blocks(
@@ -87,33 +99,60 @@ def purge_blocks(
     inner-join semantics, ReferenceSetBlocking.java:120-122) and, when
     ``cfg.purge_max_block_size`` is set, not oversized (skew guard).
 
-    The count aggregate runs over the slim (blockID, party) projection —
-    map-side partial aggregation makes this shuffle tiny — and the verdict
-    is applied with a semi-join, so hot blocks never materialize downstream.
+    Implemented as an unbounded window aggregate over blockID — ONE
+    shuffle, no join, and the resulting hash(blockID) partitioning is
+    reused by the candidate stage's windows (exchange reuse), so purge +
+    sorted-neighborhood together cost a single exchange of the slim
+    element rows.
     """
-    counts = elements.groupBy("blockID").agg(
-        F.sum(F.when(F.col("party") == "A", 1).otherwise(0)).alias("nA"),
-        F.sum(F.when(F.col("party") == "B", 1).otherwise(0)).alias("nB"),
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("blockID").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    counted = elements.withColumn(
+        "_nA", F.sum(F.when(F.col("party") == "A", 1).otherwise(0)).over(w)
+    ).withColumn(
+        "_nB", F.sum(F.when(F.col("party") == "B", 1).otherwise(0)).over(w)
     )
     cond = F.lit(True)
     if require_both_parties:
-        cond = cond & (F.col("nA") > 0) & (F.col("nB") > 0)
+        cond = cond & (F.col("_nA") > 0) & (F.col("_nB") > 0)
     if cfg.purge_max_block_size is not None:
-        cond = cond & ((F.col("nA") + F.col("nB")) <= cfg.purge_max_block_size)
-    keep = counts.where(cond).select("blockID")
-    return elements.join(keep, "blockID", "left_semi")
+        cond = cond & ((F.col("_nA") + F.col("_nB")) <= cfg.purge_max_block_size)
+    return counted.where(cond).drop("_nA", "_nB")
 
 
-def assemble_blocks(elements: DataFrame) -> DataFrame:
+def assemble_blocks(elements: DataFrame, salt_buckets: int = 0) -> DataFrame:
     """(blockID, recordID, party, score) -> per-block sorted element arrays.
 
     Mirrors the reference Block table (rank = Σ scores, Block.java:36-42 —
     computed there but unused downstream; we keep it as a purge weight).
+
+    ``salt_buckets > 0`` enables two-phase SALTED aggregation — the
+    explicit skew guard the north star requires for collect_list-style
+    groupBys, where a hot blockID (duplicate boilerplate pages) would
+    otherwise funnel its whole array into one task: phase 1 groups by
+    (blockID, hash(recordID) % salt), phase 2 merges the per-salt partial
+    arrays with flatten + array_sort. Counts/sums already partial-agg
+    map-side; salting matters for the unbounded array payload.
     """
-    return elements.groupBy("blockID").agg(
-        F.array_sort(
-            F.collect_list(F.struct("score", "party", "recordID"))
-        ).alias("elements"),
-        F.sum("score").alias("rank"),
-        F.count(F.lit(1)).alias("size"),
+    struct_col = F.struct("score", "party", "recordID")
+    if salt_buckets <= 0:
+        return elements.groupBy("blockID").agg(
+            F.array_sort(F.collect_list(struct_col)).alias("elements"),
+            F.sum("score").alias("rank"),
+            F.count(F.lit(1)).alias("size"),
+        )
+    partial = elements.withColumn(
+        "_salt", F.pmod(F.hash("recordID"), F.lit(salt_buckets))
+    ).groupBy("blockID", "_salt").agg(
+        F.collect_list(struct_col).alias("_part"),
+        F.sum("score").alias("_rank"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partial.groupBy("blockID").agg(
+        F.array_sort(F.flatten(F.collect_list("_part"))).alias("elements"),
+        F.sum("_rank").alias("rank"),
+        F.sum("_n").alias("size"),
     )

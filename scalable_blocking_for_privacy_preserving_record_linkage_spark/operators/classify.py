@@ -92,24 +92,18 @@ def unpivot_records(records: DataFrame, cfg: PPRLConfig) -> DataFrame:
     )
 
 
-def classify(
+def make_classify_udf(
     spark: SparkSession,
-    records: DataFrame,
     samples: dict[int, np.ndarray],
     cfg: PPRLConfig,
-) -> DataFrame:
-    """One-pass classification over the exploded (attr, sample) grid.
-
-    Output: (recordID, party, s, classID, score) — one row per record ×
-    attribute × sample, classID = ``"S{s}.{pos}"`` exactly as
-    ReferenceSetBlocking.java:176,180.
-    """
+):
+    """Build the vectorized (s, value) -> (classID, score) pandas UDF with
+    the sorted samples broadcast once. Shared by the batch grid pass
+    (``classify``) and the stateless wide pass (``classify_wide``)."""
     bc = spark.sparkContext.broadcast(
         {s: np.asarray(v, dtype=object) for s, v in samples.items()}
     )
     nsc = cfg.num_search_chars
-    rs_sizes = {s: len(v) for s, v in samples.items()}
-    num_samples = cfg.num_samples
 
     out_type = T.StructType(
         [
@@ -152,6 +146,23 @@ def classify(
             score_out[mask] = [t[1] for t in mapped]
         return pd.DataFrame({"classID": class_out, "score": score_out})
 
+    return _classify
+
+
+def classify(
+    spark: SparkSession,
+    records: DataFrame,
+    samples: dict[int, np.ndarray],
+    cfg: PPRLConfig,
+) -> DataFrame:
+    """One-pass classification over the exploded (attr, sample) grid.
+
+    Output: (recordID, party, s, classID, score) — one row per record ×
+    attribute × sample, classID = ``"S{s}.{pos}"`` exactly as
+    ReferenceSetBlocking.java:176,180.
+    """
+    _classify = make_classify_udf(spark, samples, cfg)
+    num_samples = cfg.num_samples
     unpivoted = unpivot_records(records, cfg)
     grid = unpivoted.select(
         "recordID",
@@ -170,3 +181,45 @@ def classify(
         F.col("s").cast("int").alias("s"),
         _classify("s", "value").alias("c"),
     ).select("recordID", "party", "s", F.col("c.classID").alias("classID"), F.col("c.score").alias("score"))
+
+
+def classify_wide(
+    spark: SparkSession,
+    records: DataFrame,
+    samples: dict[int, np.ndarray],
+    cfg: PPRLConfig,
+) -> DataFrame:
+    """STATELESS classification: all attr×sample cells as one array column
+    per record — no explode, no groupBy, so it lifts to Structured
+    Streaming append mode unchanged (streaming/jobs.py).
+
+    Output: (recordID, party, arr: array<struct<s:int, classID, score>>),
+    arr ordered by s — the same shape ``block_ids`` builds via
+    groupBy+collect+sort in the batch path.
+    """
+    _classify = make_classify_udf(spark, samples, cfg)
+    return records.select(
+        F.col(cfg.id_col).cast("string").alias("recordID"),
+        "party",
+        classify_cells_expr(_classify, cfg).alias("arr"),
+    )
+
+
+def classify_cells_expr(classify_udf, cfg: PPRLConfig):
+    """array<struct<s, classID, score>> expression over the record's
+    attribute columns — the wide-classify core, reusable inside any
+    projection (e.g. the streaming enriched select)."""
+    cells = []
+    s = 1
+    for attr in cfg.blocking_attrs:
+        for _ in range(cfg.num_samples):
+            c = classify_udf(F.lit(s).cast("int"), F.col(attr).cast("string"))
+            cells.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    c["classID"].alias("classID"),
+                    c["score"].alias("score"),
+                )
+            )
+            s += 1
+    return F.array(*cells)

@@ -65,7 +65,16 @@ def match_candidates(
         *[F.col(f"card_{i+1}").alias(f"cardB_{i+1}") for i in range(n)],
     )
     joined = pairs.join(blooms_a, "record1", "inner").join(blooms_b, "record2", "inner")
+    return score_joined(joined, cfg, keep_similarities)
 
+
+def score_joined(
+    joined: DataFrame, cfg: PPRLConfig, keep_similarities: bool = False
+) -> DataFrame:
+    """Dice-score a frame that already carries (record1, record2,
+    bloomA_i/cardA_i, bloomB_i/cardB_i) — shared by the batch join path
+    and the stream-static path (streaming/jobs.py)."""
+    n = cfg.num_attrs
     passes = []
     sims = []
     for i in range(1, n + 1):
@@ -85,6 +94,5 @@ def match_candidates(
             )
 
     matched_fields = sum(passes[1:], passes[0]).alias("matched_fields")
-    cols = ["record1", "record2"]
-    result = joined.select(*cols, matched_fields, *sims)
+    result = joined.select("record1", "record2", matched_fields, *sims)
     return result.where(F.col("matched_fields") >= cfg.matches_to_accept)

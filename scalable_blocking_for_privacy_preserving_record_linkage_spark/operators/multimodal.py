@@ -1,0 +1,199 @@
+"""Multimodal columns for training-data pipelines: image/audio/video as
+opaque ``binary`` payloads with typed metadata, processed by Arrow-batched
+``mapInPandas`` kernels.
+
+The Spark-side plumbing — schemas, batch iteration, partitioning,
+zero-copy Arrow transfer — is real and tested. The actual codec calls are
+STUBBED: this container ships no image/audio libraries, so each kernel
+routes through :func:`_decode_backend`, which uses a clearly-marked
+deterministic fake ("fakecodec") unless a real backend (PIL, etc.) is
+importable. Swapping in a real decoder changes ONE function; none of the
+distributed plumbing moves.
+
+Media table schema (the multimodal analogue of the pages table):
+
+    media(media_id: long, kind: string,        -- 'image' | 'audio' | 'video'
+          payload: binary,                     -- opaque encoded bytes
+          meta: struct<mime:string, width:int, height:int,
+                       sample_rate:int, n_frames:int>)
+
+Deterministic synthesis from any (id, text) table keeps fixtures
+reproducible without external data (``synthesize_media``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.io import ensure_parallelism
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def _decode_backend():
+    """Return the decode backend. Real codecs are not installed in this
+    container, so this resolves to the deterministic fake; the import-try
+    documents exactly where a real backend would slot in."""
+    try:  # pragma: no cover - container has no PIL
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image backend detected but intentionally not wired: "
+            "implement _decode_real() before removing the fake"
+        )
+    except ImportError:
+        return "fakecodec"
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a decoded image: seed a PRNG from the
+    payload digest. Same payload -> same 'pixels' on every executor."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministically derive a media table from any (id, text) table.
+
+    payload = utf-8 bytes of the text (opaque as far as the pipeline is
+    concerned); kind/dimensions derived from the id so the table covers
+    all three modalities.
+    """
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        F.concat(F.lit("x-fake/"), kind).alias("mime"),
+        (F.col(id_col) % 16 * 8 + 32).cast("int").alias("width"),
+        (F.col(id_col) % 9 * 8 + 32).cast("int").alias("height"),
+        F.when(kind == "audio", F.lit(16000)).otherwise(F.lit(0)).cast("int").alias("sample_rate"),
+        F.when(kind == "video", (F.col(id_col) % 7 + 2)).otherwise(F.lit(1)).cast("int").alias("n_frames"),
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").cast("binary").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+_FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, mean double, std double, "
+    "phash long"
+)
+
+
+def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Decode + feature-extract each payload (Arrow-batched mapInPandas).
+
+    Output: (media_id, kind, n_bytes, mean, std, phash). The decode is the
+    fake backend; everything around it (batch shape, schema, partition
+    behavior) is production plumbing.
+    """
+    assert _decode_backend() == "fakecodec"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": np.zeros(n, dtype=np.int32),
+                "mean": np.zeros(n, dtype=np.float64),
+                "std": np.zeros(n, dtype=np.float64),
+                "phash": np.zeros(n, dtype=np.int64),
+            }
+            for i, (payload, meta) in enumerate(zip(pdf["payload"], pdf["meta"])):
+                w, h = int(meta["width"]), int(meta["height"])
+                px = _fake_pixels(bytes(payload), w, h)
+                out["n_bytes"][i] = len(payload)
+                out["mean"][i] = float(px.mean())
+                out["std"][i] = float(px.std())
+                # perceptual-hash stand-in: sign bits of 8x8 block means
+                blocks = px[: h - h % 8, : w - w % 8, 0].reshape(8, (h - h % 8) // 8, 8, -1).mean(axis=(1, 3))
+                bits = (blocks > blocks.mean()).flatten()[:63]
+                out["phash"][i] = int(sum(int(b) << j for j, b in enumerate(bits)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=_FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
+    """Resize the image payloads to ``target`` x ``target`` (fake decode ->
+    nearest-neighbor sample -> re-encode as raw RGB bytes)."""
+    assert _decode_backend() == "fakecodec"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image":
+                    continue
+                w, h = int(r["meta"]["width"]), int(r["meta"]["height"])
+                px = _fake_pixels(bytes(r["payload"]), w, h)
+                yi = (np.arange(target) * h // target).clip(0, h - 1)
+                xi = (np.arange(target) * w // target).clip(0, w - 1)
+                resized = px[np.ix_(yi, xi)]
+                rows.append(
+                    (int(r["media_id"]), target, target, resized.tobytes())
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
+
+    return media.mapInPandas(fn, schema=_RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = "media_id long, frame_idx int, frame_mean double"
+
+
+def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
+    """Sample frames from video payloads: one output row per kept frame."""
+    assert _decode_backend() == "fakecodec"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video":
+                    continue
+                w, h = int(r["meta"]["width"]), int(r["meta"]["height"])
+                nf = int(r["meta"]["n_frames"])
+                for f_idx in range(0, nf, every):
+                    frame = _fake_pixels(
+                        bytes(r["payload"]) + f_idx.to_bytes(4, "big"), w, h
+                    )
+                    ids.append(int(r["media_id"]))
+                    idxs.append(f_idx)
+                    means.append(float(frame.mean()))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_mean": means})
+
+    return media.mapInPandas(fn, schema=_FRAME_SCHEMA)

@@ -10,11 +10,16 @@ adaptive rule is exactly equivalent to: *pair each element with its
 scan continues while ``steps <= W + same_seen - 2``, and steps =
 same_seen + opp_seen, so it stops once ``opp_seen = W - 1``).
 
-That equivalence lets us implement it as a fully vectorized numpy kernel
-inside ``applyInPandas`` (grouped by blockID) instead of a per-row Python
-loop: for each element we take a contiguous slice of the opposite party's
-position index. Blocks are bounded by the purge stage, so groups are small
-and uniform — the groupBy(blockID) shuffle is the only data movement.
+That equivalence admits two implementations, both here:
+
+* ``candidate_pairs`` (DEFAULT) — pure Catalyst: one window pass computes
+  each element's rank and opposite-predecessor count, then a BANDED
+  equi-join (bucket = party-rank / (W-1), each looker probes ≤2 buckets)
+  resolves the per-element range. Whole-stage codegen end to end, no
+  Python, and the blockID window reuses the purge stage's exchange.
+* ``candidate_pairs_kernel`` — the vectorized numpy kernel inside
+  ``applyInPandas`` (grouped by blockID). Kept as the executable
+  specification; tests assert both produce identical pair sets.
 
 Pairs are emitted Alice-first (record1 = Alice id, record2 = Bob id,
 MetaBlocking.java:64-68) and deduplicated across blocks
@@ -26,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..config import PPRLConfig
 
@@ -74,11 +80,10 @@ def _window_pairs_block(pdf: pd.DataFrame, w: int) -> pd.DataFrame:
     )
 
 
-def candidate_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
-    """(blockID, recordID, party, score) -> distinct (record1, record2).
-
-    record1 is always the Alice id, record2 the Bob id.
-    """
+def candidate_pairs_kernel(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """applyInPandas reference implementation of the adaptive window —
+    kept as the semantic cross-check for the Catalyst plan (tests assert
+    both produce identical pair sets)."""
     w = cfg.window_size
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -86,3 +91,115 @@ def candidate_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
 
     pairs = elements.groupBy("blockID").applyInPandas(fn, schema=_PAIR_SCHEMA)
     return pairs.dropDuplicates(["record1", "record2"])
+
+
+def candidate_edge_weights(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """(record1, record2, cbs_weight, arcs_weight) — the meta-blocking
+    edge-weight table (CBS = co-occurring block count, ARCS = Σ 1/|block|)
+    for inspection and threshold tuning."""
+    return _weighted_pairs(elements, cfg)
+
+
+def candidate_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """(blockID, recordID, party, score) -> distinct (record1, record2) —
+    PURE CATALYST (whole-stage codegen, no Python in the hot path).
+
+    Formulation: "pair each element with its W-1 nearest PRECEDING
+    opposite-party elements" (the adaptive-window equivalence proved in
+    the module docstring). Per element, with ``pos`` its rank in the
+    block's total order and ``p_idx`` its rank within its own party,
+    the count of opposite-party predecessors is ``opp_before = pos -
+    p_idx``; its partners are the opposite-party elements with party-rank
+    in ``[opp_before - W + 2, opp_before]``. That range is resolved with a
+    BANDED equi-join — bucket = (party_rank - 1) / (W - 1), each looker
+    probes at most two buckets — so the pair space never materializes
+    beyond the true candidates. One window pass + one bounded self-join,
+    both JVM-side; the window reuses the purge stage's hash(blockID)
+    exchange.
+
+    record1 is always the Alice id, record2 the Bob id
+    (MetaBlocking.java:64-68).
+    """
+    agg = _weighted_pairs(elements, cfg)
+    if cfg.min_cbs_weight > 1:
+        agg = agg.where(F.col("cbs_weight") >= cfg.min_cbs_weight)
+    if cfg.min_arcs_weight is not None:
+        agg = agg.where(F.col("arcs_weight") >= cfg.min_arcs_weight)
+    return agg.select("record1", "record2")
+
+
+def _weighted_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    k = cfg.window_size - 1
+    if k <= 0:
+        return elements.sparkSession.createDataFrame(
+            [], _PAIR_SCHEMA + ", cbs_weight bigint, arcs_weight double"
+        )
+
+    order = [F.col("score"), F.col("party"), F.col("recordID")]
+    win_all = W.partitionBy("blockID").orderBy(*order)
+    cum = win_all.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    pos = F.row_number().over(win_all)
+    cnt_a = F.sum(F.when(F.col("party") == "A", 1).otherwise(0)).over(cum)
+    block_n = F.count(F.lit(1)).over(
+        W.partitionBy("blockID").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+    )
+    e = elements.select(
+        "blockID",
+        "recordID",
+        "party",
+        pos.alias("pos"),
+        F.when(F.col("party") == "A", cnt_a).otherwise(pos - cnt_a).alias("p_idx"),
+        block_n.alias("block_n"),
+    ).withColumn("opp_before", F.col("pos") - F.col("p_idx"))
+
+    look = (
+        e.where(F.col("opp_before") >= 1)
+        .select(
+            "blockID",
+            "recordID",
+            "party",
+            "block_n",
+            F.when(F.col("party") == "A", F.lit("B")).otherwise(F.lit("A")).alias("t_party"),
+            F.greatest(F.lit(1), F.col("opp_before") - k + 1).alias("lo"),
+            F.col("opp_before").alias("hi"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.col("lo") - 1) / k),
+                        F.floor((F.col("hi") - 1) / k),
+                    )
+                )
+            ),
+        )
+    )
+    tgt = e.select(
+        "blockID",
+        F.col("party").alias("t_party"),
+        F.col("recordID").alias("t_id"),
+        F.col("p_idx").alias("t_idx"),
+        F.floor((F.col("p_idx") - 1) / k).alias("bucket"),
+    )
+    joined = look.join(tgt, ["blockID", "t_party", "bucket"]).where(
+        F.col("t_idx").between(F.col("lo"), F.col("hi"))
+    )
+    pairs = joined.select(
+        F.when(F.col("party") == "A", F.col("recordID")).otherwise(F.col("t_id")).alias("record1"),
+        F.when(F.col("party") == "A", F.col("t_id")).otherwise(F.col("recordID")).alias("record2"),
+        (F.lit(1.0) / F.col("block_n")).alias("_arcs_part"),
+    )
+    # meta-blocking weighted edge pruning (north-star; the reference only
+    # dedups, MetaBlocking.java:35): CBS = number of co-occurring blocks,
+    # ARCS = sum of 1/|block|. The aggregate costs the same shuffle the
+    # plain dropDuplicates would.
+    return pairs.groupBy("record1", "record2").agg(
+        F.count(F.lit(1)).alias("cbs_weight"),
+        F.sum("_arcs_part").alias("arcs_weight"),
+    )

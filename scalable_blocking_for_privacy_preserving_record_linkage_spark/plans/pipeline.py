@@ -4,18 +4,21 @@ Spark-first).
 
 Stage graph (shuffles annotated; compare the reference's six, SURVEY.md §3):
 
-  records ──(normalize: narrow)──► classify (pandas UDF: narrow)
-          ──(groupBy recordID: SHUFFLE 1)──► block_ids (narrow)
-          ──(count+semi-join purge: SHUFFLE 2)
-          ──(groupBy blockID applyInPandas: SHUFFLE 3)──► candidate pairs
-          ──(distinct: SHUFFLE 4)
-          ──(join blooms ×2: SHUFFLES 5,6)──► matches (codegen Dice filter)
+  records ──(normalize: narrow)──► classify_wide (pandas UDF, all 12
+          cells in one projection: narrow) ──► block_ids explode (narrow)
+          ──(window purge + ranks on blockID: SHUFFLE 1, shared exchange)
+          ──(banded range-join: SHUFFLE 2)──► candidate pairs
+          ──(distinct: SHUFFLE 3)
+          ──(join blooms ×2: SHUFFLES 4,5)──► matches (codegen Dice filter)
           ──(iterative CC joins)──► clusters
 
-The reference's 12-way classify-union collapses into the single exploded
-grid pass (classify.py), and its two per-party block groupBys + inner join
-collapse into one groupBy + purge semi-join — strictly fewer shuffles on
-strictly slimmer rows.
+The reference's 12-way classify-union + groupBy(recordID) regroup
+collapses into the stateless wide classify (no shuffle at all before
+block formation), its two per-party block groupBys + inner join collapse
+into one shared-exchange window purge, and its per-row sorted-
+neighborhood loop becomes a codegen banded range-join — five shuffles on
+slimmer rows versus the reference's six on wider ones, with no Python in
+the per-pair path.
 
 Every stage can checkpoint to Parquet (Iceberg in production) with a
 lineage manifest; a rerun with the same config resumes after the last
@@ -58,6 +61,7 @@ def run_pipeline(
     resume: bool = True,
     with_clusters: bool = True,
     with_metrics: bool = True,
+    truncate_lineage: bool = False,
 ) -> PipelineResult:
     """records: (id, surname, name, city, party); reference_sets: (col1..colN)."""
     ph = cfg.params_hash()
@@ -81,17 +85,26 @@ def run_pipeline(
 
     samples = classify.build_reference_samples(reference_sets, cfg, db_size)
 
-    classified = timed("classified", lambda: classify.classify(spark, normalized, samples, cfg))
+    # stateless wide classify: all 12 (attr, sample) cells in one projection
+    # per record — no explode-then-regroup shuffle (the grid variant,
+    # classify.classify, remains for incremental/inspection paths)
+    classified = timed(
+        "classified", lambda: classify.classify_wide(spark, normalized, samples, cfg)
+    )
     elements = timed(
         "block_elements",
-        lambda: blocking.purge_blocks(blocking.block_ids(classified, cfg), cfg),
+        lambda: blocking.purge_blocks(
+            blocking.block_ids_from_arrays(classified, cfg), cfg
+        ),
     )
     candidates = timed("candidates", lambda: window.candidate_pairs(elements, cfg))
     # the reference caches matches before its double count (Simulator.java:50);
     # without a durable checkpoint we truncate lineage locally so downstream
     # consumers (Dice join, clustering, metrics) never re-run the classify/
     # window DAG — matches MUST be built from the checkpointed candidates
-    truncate = checkpoint_dir is None and (with_clusters or with_metrics)
+    truncate = checkpoint_dir is None and (
+        with_clusters or with_metrics or truncate_lineage
+    )
     if truncate:
         candidates = candidates.localCheckpoint()
     blooms = timed("blooms", lambda: matching.encode_blooms(normalized, cfg))

@@ -27,6 +27,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # PPRL stages are CPU-heavy per byte (Levenshtein, q-gram hashing,
+        # window kernels); the 64MB default advisory size would coalesce
+        # post-shuffle partitions below the core count on slim rows
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,160 @@
+"""Structured-Streaming jobs: incremental PPRL ingest + event analytics.
+
+The reference is pure batch (SURVEY.md §2.9 — no streaming of any kind);
+these are the engine's forward extensions for continuous pipelines, built
+on ``readStream``/``writeStream`` so every transformation below is the
+SAME DataFrame code the batch pipeline uses — classification, Bloom
+encoding and block assignment are stateless per record, so they lift to
+streams unchanged (the Spark unified-batch-streaming contract).
+
+* ``stream_records(...)``      — file-source stream of party records
+* ``encode_stream(...)``       — incremental Bloom encoding of new records
+* ``classify_stream(...)``     — incremental classify + block-id assignment;
+                                 new records land in the same block keyspace
+                                 as the static index, ready for a
+                                 stream-static candidate join
+* ``match_stream_against(...)``— stream-static join: score each incoming
+                                 record's candidates against the indexed
+                                 opposite party, emit matches continuously
+* ``windowed_event_counts(...)``— watermarked tumbling-window aggregation
+                                 over the events table (late data handled)
+
+All jobs are testable with ``trigger(availableNow=True)`` + memory sink —
+no always-on cluster needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PPRLConfig
+from ..operators import blocking, classify, matching
+
+RECORD_SCHEMA = "id string, surname string, name string, city string, party string"
+
+
+def stream_records(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Parquet file-source stream of (id, surname, name, city, party)."""
+    return (
+        spark.readStream.schema(RECORD_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def encode_stream(records: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """Incremental Bloom encoding — the batch encoder applied to a stream
+    (stateless pandas UDF; one Arrow batch per micro-batch partition)."""
+    return matching.encode_blooms(records, cfg)
+
+
+def classify_stream(
+    records: DataFrame, samples: dict[int, np.ndarray], cfg: PPRLConfig
+) -> DataFrame:
+    """Incremental classification + block-id assignment for new records.
+
+    Uses the STATELESS wide classify (one array column per record, no
+    explode-then-groupBy) so the whole transform is a projection — legal
+    in streaming append mode with no state store.
+    """
+    spark = records.sparkSession
+    wide = classify.classify_wide(spark, records, samples, cfg)
+    return blocking.block_ids_from_arrays(wide, cfg)
+
+
+def match_stream_against(
+    incoming: DataFrame,
+    static_elements: DataFrame,
+    static_blooms: DataFrame,
+    samples: dict[int, np.ndarray],
+    cfg: PPRLConfig,
+) -> DataFrame:
+    """Stream-static linkage: each incoming record (party B) is classified
+    AND Bloom-encoded in ONE projection (a single pandas-UDF pass — two
+    derivatives of one stream would otherwise force a stream-stream
+    join), its blocks looked up in the STATIC party-A index via a
+    stream-static equi-join on blockID, and each candidate Dice-scored
+    in-line. Append mode, no state store except the pair dedup.
+
+    The static side is the checkpointed output of the batch pipeline; at
+    cluster scale it is a bucketed Iceberg table so the per-batch join
+    needs no shuffle of the big side.
+    """
+    from ..functions import bloom as bloomfn
+    from ..operators.blocking import _cyclic_pair_expr
+
+    n = cfg.num_attrs
+    spark = incoming.sparkSession
+    b = incoming.where(F.col("party") == "B")
+
+    classify_udf = classify.make_classify_udf(spark, samples, cfg)
+    bloom_udf = bloomfn.bloom_udf(cfg)
+    enriched = b.select(
+        F.col(cfg.id_col).cast("string").alias("record2"),
+        classify.classify_cells_expr(classify_udf, cfg).alias("arr"),
+        *[
+            bloom_udf(F.col(a).cast("string")).alias(f"bloomB_{i+1}")
+            for i, a in enumerate(cfg.blocking_attrs)
+        ],
+    )
+    for i in range(1, n + 1):
+        enriched = enriched.withColumn(
+            f"cardB_{i}", bloomfn.popcount_expr(f"bloomB_{i}")
+        )
+    stream_elements = enriched.select(
+        "record2",
+        F.explode(_cyclic_pair_expr("arr")).alias("bp"),
+        *[F.col(f"bloomB_{i}") for i in range(1, n + 1)],
+        *[F.col(f"cardB_{i}") for i in range(1, n + 1)],
+    ).select(
+        F.col("bp.blockID").alias("blockID"),
+        "record2",
+        *[f"bloomB_{i}" for i in range(1, n + 1)],
+        *[f"cardB_{i}" for i in range(1, n + 1)],
+    )
+
+    # static A index: blockID -> (record1, blooms) built once, batch-side
+    a_index = (
+        static_elements.where(F.col("party") == "A")
+        .select("blockID", F.col("recordID").alias("record1"))
+        .join(
+            static_blooms.where(F.col("party") == "A").select(
+                F.col("recordID").alias("record1"),
+                *[F.col(f"bloom_{i}").alias(f"bloomA_{i}") for i in range(1, n + 1)],
+                *[F.col(f"card_{i}").alias(f"cardA_{i}") for i in range(1, n + 1)],
+            ),
+            "record1",
+        )
+    )
+    joined = stream_elements.join(a_index, "blockID")
+    return matching.score_joined(joined, cfg).dropDuplicates(["record1", "record2"])
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window event rollup (works batch AND stream).
+
+    Output: (window_start, window_end, event_type, n_events, total_value).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -82,3 +82,45 @@ def test_assemble_blocks_sorted(spark):
     # ascending by score; tie at 5 -> party A before B (our total order)
     assert elems == [(2, "A", "y"), (5, "A", "z"), (5, "B", "x")]
     assert blk["rank"] == 12 and blk["size"] == 3
+
+
+def test_assemble_blocks_salted_equals_plain(spark):
+    rows = [
+        ("b1", f"r{i}", "A" if i % 2 else "B", i % 7) for i in range(40)
+    ] + [("b2", "x", "A", 1), ("b2", "y", "B", 0)]
+    df = spark.createDataFrame(
+        rows, "blockID string, recordID string, party string, score int"
+    )
+    plain = {
+        r["blockID"]: (tuple(map(tuple, r["elements"])), r["rank"], r["size"])
+        for r in blocking.assemble_blocks(df).collect()
+    }
+    salted = {
+        r["blockID"]: (tuple(map(tuple, r["elements"])), r["rank"], r["size"])
+        for r in blocking.assemble_blocks(df, salt_buckets=8).collect()
+    }
+    assert plain == salted and len(plain) == 2
+
+
+def test_block_ids_wide_equals_grid(spark):
+    """classify_wide -> block_ids_from_arrays must equal the grid path's
+    explode -> groupBy -> block_ids on the same classifications."""
+    rows = [
+        ("r1", "A", 1, "S1.2", 3),
+        ("r1", "A", 2, "S2.9", 1),
+        ("r1", "A", 3, "S3.1", 4),
+        ("r2", "B", 1, "S1.5", 0),
+        ("r2", "B", 2, "S2.2", 2),
+        ("r2", "B", 3, "S3.9", 1),
+    ]
+    grid = blocking.block_ids(_classified(spark, rows), CFG)
+    wide_rows = {}
+    for rid, party, s, cid, sc in rows:
+        wide_rows.setdefault((rid, party), []).append((s, cid, sc))
+    wide = spark.createDataFrame(
+        [(k[0], k[1], sorted(v)) for k, v in wide_rows.items()],
+        "recordID string, party string, arr array<struct<s:int,classID:string,score:int>>",
+    )
+    got = {tuple(r) for r in blocking.block_ids_from_arrays(wide, CFG).collect()}
+    want = {tuple(r) for r in grid.collect()}
+    assert got == want and len(want) == 6

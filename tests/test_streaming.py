@@ -1,0 +1,147 @@
+"""Structured-Streaming jobs: file-source ingest, incremental encode +
+classify, stream-static matching, watermarked windowed aggregation.
+
+Strategy: run each streaming job with trigger(availableNow=True) into a
+memory sink and compare against the SAME transformation run in batch —
+the unified-API contract makes the batch result the oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.config import PPRLConfig
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+    blocking,
+    classify,
+    matching,
+)
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import fixtures
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.streaming import jobs
+
+CFG = PPRLConfig(rs_size_override=10, purge_max_block_size=500)
+
+
+@pytest.fixture(scope="module")
+def record_dir(spark, tmp_path_factory):
+    """Party records written as MULTIPLE parquet files (micro-batch fodder)."""
+    path = str(tmp_path_factory.mktemp("stream_records"))
+    records = fixtures.spark_records(spark, 120, overlap=0.5, typo_rate=0.0, seed=7)
+    records.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_encode_stream_matches_batch(spark, record_dir):
+    stream = jobs.stream_records(spark, record_dir, max_files_per_trigger=2)
+    assert stream.isStreaming
+    _run_stream(jobs.encode_stream(stream, CFG), "enc_stream")
+    got = spark.sql("select recordID, party, card_1, card_2, card_3 from enc_stream")
+
+    batch = matching.encode_blooms(spark.read.parquet(record_dir), CFG)
+    want = batch.select("recordID", "party", "card_1", "card_2", "card_3")
+
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+
+def test_classify_stream_matches_batch(spark, record_dir):
+    batch_records = spark.read.parquet(record_dir)
+    samples = classify.build_reference_samples(
+        fixtures.spark_reference_sets(spark), CFG, batch_records.count()
+    )
+
+    stream = jobs.stream_records(spark, record_dir, max_files_per_trigger=2)
+    _run_stream(jobs.classify_stream(stream, samples, CFG), "cls_stream")
+    got = spark.sql("select blockID, recordID, party, score from cls_stream")
+
+    want = blocking.block_ids(
+        classify.classify(spark, batch_records, samples, CFG), CFG
+    )
+
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.select("blockID", "recordID", "party", "score").collect()))
+    assert g == w and len(g) > 0
+
+
+def test_match_stream_against_static(spark, record_dir):
+    """New B-party records arriving as a stream match the static A index
+    exactly as the batch pipeline would."""
+    batch_records = spark.read.parquet(record_dir)
+    samples = classify.build_reference_samples(
+        fixtures.spark_reference_sets(spark), CFG, batch_records.count()
+    )
+    static_elements = blocking.block_ids(
+        classify.classify(spark, batch_records, samples, CFG), CFG
+    )
+    static_blooms = matching.encode_blooms(batch_records, CFG)
+
+    stream = jobs.stream_records(spark, record_dir, max_files_per_trigger=2)
+    matched = jobs.match_stream_against(
+        stream.where(F.col("party") == "B"),
+        static_elements,
+        static_blooms,
+        samples,
+        CFG,
+    )
+    _run_stream(matched.select("record1", "record2", "matched_fields"), "match_stream")
+    got = spark.sql("select record1, record2 from match_stream")
+
+    # batch oracle: same candidate rule (shared block, no window) + Dice
+    a_side = static_elements.where("party='A'").select("blockID", F.col("recordID").alias("record1"))
+    b_side = static_elements.where("party='B'").select("blockID", F.col("recordID").alias("record2"))
+    cand = b_side.join(a_side, "blockID").select("record1", "record2").dropDuplicates(["record1", "record2"])
+    want = matching.match_candidates(cand, static_blooms, CFG).select("record1", "record2")
+
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+
+def test_windowed_event_counts_stream_vs_batch(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": pd.date_range("2024-01-01", periods=100, freq="7min"),
+            "event_type": ["click" if i % 3 else "view" for i in range(100)],
+            "value": [float(i % 10) for i in range(100)],
+        }
+    )
+    path = str(tmp_path / "events")
+    spark.createDataFrame(pdf).repartition(3).write.parquet(path)
+
+    batch = spark.read.parquet(path)
+    want = jobs.windowed_event_counts(batch)
+
+    stream = (
+        spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = (
+        jobs.windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select window_start, window_end, event_type, n_events, total_value from win_stream"
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0

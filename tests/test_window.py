@@ -9,6 +9,7 @@ from scalable_blocking_for_privacy_preserving_record_linkage_spark.config import
 from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators.window import (
     _window_pairs_block,
     candidate_pairs,
+    candidate_pairs_kernel,
 )
 
 
@@ -95,3 +96,62 @@ def test_single_party_block_emits_nothing(spark):
         rows, "blockID string, recordID string, party string, score int"
     )
     assert candidate_pairs(df, PPRLConfig()).count() == 0
+
+
+@pytest.mark.parametrize("w", [2, 3, 10])
+def test_catalyst_equals_kernel(spark, w):
+    """The banded-range-join Catalyst plan and the applyInPandas kernel
+    must produce identical pair sets on random multi-block inputs
+    (including tied scores, where the (score, party, recordID) total
+    order decides)."""
+    rng = np.random.default_rng(99 + w)
+    rows = []
+    for b in range(12):
+        n = int(rng.integers(1, 25))
+        for kk in range(n):
+            rows.append(
+                (
+                    f"b{b}",
+                    f"r{b}_{kk}",
+                    "A" if rng.random() < 0.5 else "B",
+                    int(rng.integers(0, 6)),  # deliberate score ties
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "blockID string, recordID string, party string, score int"
+    )
+    cfg = PPRLConfig(window_size=w)
+    got = {(r["record1"], r["record2"]) for r in candidate_pairs(df, cfg).collect()}
+    want = {
+        (r["record1"], r["record2"])
+        for r in candidate_pairs_kernel(df, cfg).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_cbs_arcs_edge_pruning(spark):
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators.window import (
+        candidate_edge_weights,
+    )
+
+    # pair (x,y) co-occurs in two blocks of size 2; (x,z) in one block of 4
+    rows = [
+        ("b1", "x", "A", 1), ("b1", "y", "B", 2),
+        ("b2", "x", "A", 1), ("b2", "y", "B", 2),
+        ("b3", "x", "A", 1), ("b3", "z", "B", 2),
+        ("b3", "p", "A", 3), ("b3", "q", "B", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "blockID string, recordID string, party string, score int"
+    )
+    w = {
+        (r["record1"], r["record2"]): (r["cbs_weight"], round(r["arcs_weight"], 3))
+        for r in candidate_edge_weights(df, PPRLConfig()).collect()
+    }
+    assert w[("x", "y")] == (2, 1.0)          # 2 blocks x 1/2
+    assert w[("x", "z")] == (1, 0.25)         # 1 block x 1/4
+    pruned = candidate_pairs(df, PPRLConfig(min_cbs_weight=2))
+    assert {(r["record1"], r["record2"]) for r in pruned.collect()} == {("x", "y")}
+    pruned2 = candidate_pairs(df, PPRLConfig(min_arcs_weight=0.5))
+    got2 = {(r["record1"], r["record2"]) for r in pruned2.collect()}
+    assert ("x", "z") not in got2 and ("x", "y") in got2
