@@ -236,6 +236,93 @@ def _q_rel_cyclic_block_ids(spark, sf_dir):
     return pairs.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_rel_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, filter, agg, top-k — the canonical
+    multi-join analytics plan (broadcast dim, shuffled fact join)."""
+    c = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(o.o_orderdate < "1995-03-15")
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("l_orderkey", F.col("o_orderdate").cast("string").alias("orderdate"), "revenue", "rk")
+    )
+
+
+def _q_rel_left_outer_agg(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def _q_rel_anti_join(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_rel_semi_join(spark, sf_dir):
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+    return s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def _q_rel_rollup(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity splits a session) —
+    window lag + cumulative sum, the batch twin of stateful streaming
+    sessions."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # events.ts is TIMESTAMP_NTZ; route through TIMESTAMP for epoch seconds
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+    per_sess = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 def _q_rel_agg_pricing(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -383,6 +470,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_topk": _q_rel_topk,
         "rel_cyclic_block_ids": _q_rel_cyclic_block_ids,
         "rel_agg_pricing": _q_rel_agg_pricing,
+        "rel_q3_shipping": _q_rel_q3_shipping,
+        "rel_left_outer_agg": _q_rel_left_outer_agg,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_semi_join": _q_rel_semi_join,
+        "rel_rollup": _q_rel_rollup,
+        "events_sessionize": _q_events_sessionize,
         # dedup / similarity / text analysis
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
@@ -462,6 +555,80 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_q3_shipping": """
+            SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS orderdate, revenue, rk
+            FROM (
+              SELECT l_orderkey, o_orderdate,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     row_number() OVER (ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                                        l_orderkey) AS rk
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              GROUP BY l_orderkey, o_orderdate
+            ) WHERE rk <= 10
+        """,
+        "rel_left_outer_agg": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "rel_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "rel_semi_join": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        """,
+        "rel_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g
+            ), per_sess AS (
+              SELECT user_id, session_idx, count(*) AS n_events
+              FROM s GROUP BY user_id, session_idx
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id
+        """,
+        "dedup_minhash_lsh": """
+            WITH g AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS gram
+              FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 4)) AS i
+                    FROM documents WHERE len(text) >= 5)
+            ), b AS (
+              SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS base FROM g
+            ), hs AS (SELECT unnest(generate_series(0, 7)) AS h),
+            sig AS (
+              SELECT doc_id, h,
+                     min(((2*h + 1) * base + (h * 2654435761) % 4294967311) % 4294967311) AS mh
+              FROM b CROSS JOIN hs GROUP BY doc_id, h
+            ), band AS (
+              SELECT doc_id, h // 2 AS band,
+                     string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h) AS band_sig
+              FROM sig GROUP BY doc_id, h // 2
+            )
+            SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+            FROM band l JOIN band r
+              ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_docs,
