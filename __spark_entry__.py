@@ -26,6 +26,7 @@ from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators imp
     classify,
     clustering,
     dedup,
+    hlsh,
     matching,
     multimodal,
     similarity,
@@ -431,6 +432,16 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, e.where(F.col("vec_id") < 5), dim=dim, k=5)
 
 
+def _q_pprl_hlsh_matches(spark, sf_dir):
+    """Alternative blocking path: HLSH over Bloom segments -> Dice."""
+    records = _pprl_records(spark, sf_dir)
+    blooms = matching.encode_blooms(records, CFG)
+    pairs = hlsh.hlsh_candidate_pairs(blooms, CFG, num_passes=8, bits_per_key=16)
+    return matching.match_candidates(pairs, blooms, CFG).select(
+        "record1", "record2", "matched_fields"
+    )
+
+
 def _q_events_windowed(spark, sf_dir):
     """The streaming windowed rollup run on the batch events table —
     identical code path (unified API), DuckDB-oracle-checkable."""
@@ -461,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_matches": _q_pprl_matches,
         "pprl_clusters": _q_pprl_clusters,
         "pprl_bloom_cardinality": _q_pprl_bloom_cardinality,
+        "pprl_hlsh_matches": _q_pprl_hlsh_matches,
         # relational operator coverage
         "rel_project_filter": _q_rel_project_filter,
         "rel_distinct_norm": _q_rel_distinct_norm,

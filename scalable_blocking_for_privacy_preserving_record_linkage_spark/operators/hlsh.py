@@ -1,0 +1,107 @@
+"""Hamming-LSH (HLSH) blocking over Bloom-filter segments — the
+north-star's multi-pass LSH scheme (BASELINE.json ``north_star``), an
+alternative blocking path to the reference-set classification the
+reference uses (both feed the same Dice matcher).
+
+Scheme (Durham et al., composite Bloom filter PPRL): per pass ``p``, a
+seeded sample of ``bits_per_key`` bit positions is drawn from the
+record's concatenated CLK segments; the extracted bits form the pass's
+blocking key. Records agreeing on all sampled bits collide; similar
+records (small Hamming distance) collide in at least one of the
+``num_passes`` passes with high probability. Every pass is a pure
+Catalyst projection (shift/mask on the packed int64 words — no Python),
+and candidates come from one cross-party equi-join on (pass, key).
+
+Collision probability for Hamming distance d over m bits:
+P(one pass) = (1 - d/m)^bits_per_key, P(any) = 1 - (1-P)^num_passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PPRLConfig
+
+
+def _bit_expr(cols: list[str], pos: int, m: int):
+    """Bit ``pos`` of the virtual concatenation of per-attribute filters
+    (each an array<bigint> of ceil(m/64) words)."""
+    seg, off = divmod(pos, m)
+    word, bit = divmod(off, 64)
+    return (
+        F.shiftrightunsigned(F.element_at(F.col(cols[seg]), word + 1), bit)
+        .bitwiseAND(F.lit(1))
+    )
+
+
+def hlsh_keys(
+    blooms: DataFrame,
+    cfg: PPRLConfig,
+    num_passes: int = 8,
+    bits_per_key: int = 16,
+    seed: int | None = None,
+) -> DataFrame:
+    """(recordID, party, bloom_i...) -> (pass, key, recordID, party).
+
+    One row per record per pass; ``key`` packs the sampled bits into a
+    bigint. The (pass, positions) table is seeded and tiny — it lives in
+    the plan as literals, no broadcast needed.
+    """
+    seed = cfg.seed if seed is None else seed
+    n = cfg.num_attrs
+    m = cfg.bloom_m
+    cols = [f"bloom_{i+1}" for i in range(n)]
+    rng = np.random.default_rng(seed * 1_000 + 77)
+    passes = []
+    for p in range(num_passes):
+        positions = rng.choice(n * m, size=bits_per_key, replace=False)
+        key = F.lit(0).cast("bigint")
+        for j, pos in enumerate(sorted(int(x) for x in positions)):
+            key = key + F.shiftleft(_bit_expr(cols, pos, m).cast("bigint"), j)
+        passes.append(F.struct(F.lit(p).alias("pass"), key.alias("key")))
+    return blooms.select(
+        "recordID",
+        "party",
+        F.explode(F.array(*passes)).alias("pk"),
+    ).select(
+        F.col("pk.pass").alias("pass"), F.col("pk.key").alias("key"), "recordID", "party"
+    )
+
+
+def hlsh_candidate_pairs(
+    blooms: DataFrame,
+    cfg: PPRLConfig,
+    num_passes: int = 8,
+    bits_per_key: int = 16,
+    seed: int | None = None,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Cross-party candidate pairs from HLSH bucket collisions.
+
+    (record1 = Alice id, record2 = Bob id, distinct.) ``max_bucket_size``
+    purges degenerate buckets (e.g. the all-zeros key from empty
+    filters) — the same skew guard as block purging.
+    """
+    keys = hlsh_keys(blooms, cfg, num_passes, bits_per_key, seed)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("pass", "key").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        keys = keys.withColumn("_n", F.count(F.lit(1)).over(w)).where(
+            F.col("_n") <= max_bucket_size
+        ).drop("_n")
+    a = keys.where(F.col("party") == "A").select(
+        "pass", "key", F.col("recordID").alias("record1")
+    )
+    b = keys.where(F.col("party") == "B").select(
+        "pass", "key", F.col("recordID").alias("record2")
+    )
+    return (
+        a.join(b, ["pass", "key"])
+        .select("record1", "record2")
+        .dropDuplicates(["record1", "record2"])
+    )
