@@ -104,3 +104,23 @@ def test_null_attrs_dropped(spark):
     # normalized records contain no null/empty blocking attrs
     for attr in cfg.blocking_attrs:
         assert res.records.where(F.col(attr).isNull() | (F.length(attr) == 0)).count() == 0
+
+
+def test_catalog_fallback_roundtrip(spark, tmp_path):
+    """catalog.write_table/read_table degrade to partitioned parquet when
+    no Iceberg runtime is present (this container), same call sites."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import catalog
+
+    assert catalog.iceberg_available(spark) is False
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "a", "z")], "id long, part string, v string"
+    )
+    wh = str(tmp_path / "wh")
+    catalog.write_table(df, "db.t1", wh, partition_by=["part"])
+    back = catalog.read_table(spark, "db.t1", wh)
+    assert sorted(tuple(r) for r in back.select("id", "part", "v").collect()) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "a", "z"),
+    ]
+    # partition layout materialized (partition pruning works on read)
+    import os
+    assert os.path.isdir(os.path.join(wh, "db", "t1", "part=a"))
