@@ -39,12 +39,15 @@ from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans.pipelin
 BENCH_QUERIES = [
     "rel_agg_pricing",      # 600k-row groupBy agg (TPC-H Q1 shape)
     "rel_join_agg",         # broadcast join + agg
+    "rel_q3_shipping",      # 3-way join + agg + top-k (TPC-H Q3 shape)
     "rel_topk",             # global top-k window
     "rel_cyclic_block_ids", # partitioned window lead/first_value
+    "events_sessionize",    # gap sessionization (lag + cumulative sum)
     "dedup_minhash_lsh",    # minhash + band join
     "dedup_simhash",        # simhash + hamming self-join
     "text_quality",         # pure-Catalyst text scoring
     "ann_cosine_topk",      # brute-force cosine top-k
+    "pprl_hlsh_matches",    # HLSH blocking -> Dice (alt blocking path)
 ]
 
 

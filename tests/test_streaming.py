@@ -145,3 +145,47 @@ def test_windowed_event_counts_stream_vs_batch(spark, tmp_path):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed by a gap
+    within the stream match the batch sessionizer's gap rule."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.streaming.state import (
+        sessionize_stream,
+    )
+
+    # user 1: two sessions (gap 3600s); user 2: one session; events split
+    # across files so state must carry across micro-batches
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, base), (1, base + pd.Timedelta(seconds=60)),
+        (1, base + pd.Timedelta(seconds=120)),
+        (1, base + pd.Timedelta(seconds=120 + 3600 + 1)),     # new session
+        (1, base + pd.Timedelta(seconds=120 + 3600 + 30)),
+        (2, base), (2, base + pd.Timedelta(seconds=1000)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"]).sort_values("ts")
+    path = str(tmp_path / "sessev")
+    spark.createDataFrame(pdf).repartition(1).write.parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    # only CLOSED sessions are emitted: user 1's first session (3 events)
+    # closed by the in-stream gap; open sessions are held in state
+    assert (1, 3) in got
