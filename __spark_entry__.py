@@ -426,6 +426,16 @@ def _q_emb_near_pairs(spark, sf_dir):
     return similarity.cosine_near_pairs(e, bucket_col="label", threshold=0.35)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF index probe with nprobe = n_lists (exhaustive) — approximate
+    path, exact result, so the brute-force SQL oracle applies verbatim."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_build_centroids(e, n_centroids=8, seed=42)
+    return similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 5), cents, k=5, nprobe=8
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()["embedding"])
@@ -499,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "emb_near_pairs": _q_emb_near_pairs,
         # streaming (unified batch/stream code path) + multimodal
@@ -736,6 +747,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), s AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS cosine
+              FROM q, embeddings e WHERE e.vec_id <> query_id
+            ), r AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
               FROM embeddings WHERE vec_id < 5

@@ -82,6 +82,117 @@ def cosine_near_pairs(
     )
 
 
+def ivf_build_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    sample_cap: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side k-means on a seeded sample -> (n_centroids, dim) array.
+
+    The sample is bounded (``sample_cap``) so this stays a driver-scale
+    computation regardless of corpus size — the standard IVF coarse-
+    quantizer training recipe. Deterministic given the seed.
+    """
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .toPandas()
+    )
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.permutation(len(x))[:n_centroids]].copy()
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def _nearest_centroids_expr(vec, cents: np.ndarray, nprobe: int):
+    """array of the nprobe centroid ids with highest dot product (pure
+    Catalyst: per-centroid dot products + array sort by score)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in cents[c]]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("score"),
+                F.lit(c).alias("cid"),
+            )
+            for c in range(len(cents))
+        ]
+    )
+    ranked = F.reverse(F.array_sort(scored))
+    return F.slice(ranked, 1, nprobe)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest centroid's
+    inverted list; each query probes its ``nprobe`` nearest lists only.
+
+    Plan shape: corpus side = one narrow projection (list assignment) —
+    at 10^12 scale this is the partition key of the stored index; query
+    side explodes to nprobe rows and equi-joins on the list id. Exact
+    cosine re-ranks within the probed lists.
+    """
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(_nearest_centroids_expr(F.col(vec_col), centroids, 1), 1)[
+            "cid"
+        ].alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(
+                _nearest_centroids_expr(F.col(vec_col), centroids, nprobe),
+                lambda s: s["cid"],
+            )
+        ).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,51 @@
+"""Similarity-search operators: brute-force exactness and IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    c1 = similarity.ivf_build_centroids(emb, n_centroids=8, seed=5)
+    c2 = similarity.ivf_build_centroids(emb.repartition(7), n_centroids=8, seed=5)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    cents = similarity.ivf_build_centroids(emb, n_centroids=8, seed=42)
+    approx = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=4)
+
+    def topset(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, ap = topset(exact), topset(approx)
+    # recall@5 with half the lists probed must be high on this small corpus
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(ex[q]) for q in ex)
+    assert hits / total >= 0.7, (hits, total)
+
+
+def test_ivf_full_probe_equals_exact(spark, emb):
+    """Probing EVERY list makes IVF exhaustive -> identical to brute force."""
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = similarity.ivf_build_centroids(emb, n_centroids=4, seed=1)
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    approx = similarity.ivf_topk(emb, queries, cents, k=3, nprobe=4)
+    e = sorted(map(tuple, exact.collect()))
+    a = sorted(map(tuple, approx.collect()))
+    assert e == a
