@@ -35,7 +35,7 @@ from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators imp
 from scalable_blocking_for_privacy_preserving_record_linkage_spark.streaming import (
     jobs as streaming_jobs,
 )
-from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans import testdata
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans import oracles, testdata
 from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans.pipeline import (
     run_pipeline,
 )
@@ -153,8 +153,8 @@ def _q_pprl_bloom_cardinality(spark, sf_dir):
         .select(
             F.col("recordID").alias("id"),
             "party",
-            F.col("x.attr").alias("attr"),
-            F.col("x.card").alias("card"),
+            F.col("x.attr").cast("long").alias("attr"),
+            F.col("x.card").cast("long").alias("card"),
         )
     )
 
@@ -525,6 +525,9 @@ _STOPWORD_SQL_LIST = ",".join(f"'{w}'" for w in tx.EN_STOPWORDS)
 def oracle_sql() -> dict[str, str]:
     return {
         "pprl_records": testdata.RECORDS_ORACLE_SQL,
+        # full-pipeline DuckDB twins (recursive-CTE binary search, Dice,
+        # connected components, HLSH) — plans/oracles.py
+        **oracles.pprl_oracles(CFG, rs_size=CFG.rs_size_override),
         "rel_project_filter": """
             SELECT c_custkey, upper(c_name) AS name_u, c_acctbal, c_mktsegment
             FROM customer WHERE c_acctbal > 100

@@ -99,12 +99,30 @@ def purge_blocks(
     inner-join semantics, ReferenceSetBlocking.java:120-122) and, when
     ``cfg.purge_max_block_size`` is set, not oversized (skew guard).
 
-    Implemented as an unbounded window aggregate over blockID — ONE
-    shuffle, no join, and the resulting hash(blockID) partitioning is
-    reused by the candidate stage's windows (exchange reuse), so purge +
-    sorted-neighborhood together cost a single exchange of the slim
-    element rows.
+    Two physical strategies, chosen by whether a size cap is active:
+
+    * cap set — a SLIM groupBy(blockID) count aggregate (partial map-side
+      combine, never co-locates a block's rows) computes keep-verdicts,
+      applied with a left_semi join (AQE broadcasts the verdict side when
+      small). A degenerate hot block — exactly what the cap guards
+      against — is dropped WITHOUT ever funneling its rows into one task,
+      which a window aggregate would force.
+    * no cap — every block survives size-wise, so hot blocks flow
+      downstream regardless; the unbounded window aggregate is then the
+      better plan (one shuffle, and its hash(blockID) exchange is reused
+      by the candidate stage's windows).
     """
+    if cfg.purge_max_block_size is not None:
+        stats = elements.groupBy("blockID").agg(
+            F.sum(F.when(F.col("party") == "A", 1).otherwise(0)).alias("_nA"),
+            F.sum(F.when(F.col("party") == "B", 1).otherwise(0)).alias("_nB"),
+        )
+        cond = (F.col("_nA") + F.col("_nB")) <= cfg.purge_max_block_size
+        if require_both_parties:
+            cond = cond & (F.col("_nA") > 0) & (F.col("_nB") > 0)
+        keep = stats.where(cond).select("blockID")
+        return elements.join(keep, "blockID", "left_semi")
+
     from pyspark.sql import Window as W
 
     w = W.partitionBy("blockID").rowsBetween(
@@ -118,8 +136,6 @@ def purge_blocks(
     cond = F.lit(True)
     if require_both_parties:
         cond = cond & (F.col("_nA") > 0) & (F.col("_nB") > 0)
-    if cfg.purge_max_block_size is not None:
-        cond = cond & ((F.col("_nA") + F.col("_nB")) <= cfg.purge_max_block_size)
     return counted.where(cond).drop("_nA", "_nB")
 
 

@@ -11,8 +11,11 @@ with two deliberate structural rewrites for scale (SURVEY.md §2.5/§4.2):
   instead of twelve lambda stages.
 * The driver-side ``SecureRandom`` Durstenfeld shuffle
   (/root/reference/src/main/java/com/utils/DurstenfeldShuffle.java:8-26) is
-  replaced by a SEEDED permutation (determinism is a test requirement;
-  documented divergence, SURVEY.md §2.8.2).
+  replaced by a SEEDED hash permutation: candidates are ordered by
+  ``md5("{seed}|{s}|{value}")`` and the first RS_SIZE taken. Determinism is
+  a test requirement (documented divergence, SURVEY.md §2.8.2), and the md5
+  keying makes the draw reproducible in ANY engine — the DuckDB oracles
+  re-derive the exact reference samples with ``ORDER BY md5(...) LIMIT n``.
 
 The sorted samples are broadcast once and consumed inside the UDF via the
 exact prefix-binary-search + Levenshtein semantics of the reference
@@ -21,6 +24,8 @@ exact prefix-binary-search + Levenshtein semantics of the reference
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -42,6 +47,11 @@ def build_reference_samples(
     len>1 filter → upper → shuffle → limit RS_SIZE → sort). Sample ``s`` is
     numbered 1..(attrs*samples) in the reference's loop order
     (ReferenceSetBlocking.java:31,67).
+
+    The "shuffle" is the md5-keyed order ``md5("{seed}|{s}|{raw_value}")``
+    (keyed on the distinct RAW value so the draw is well-defined even under
+    case collisions); its DuckDB twin is
+    ``ORDER BY md5('{seed}|{s}|' || v) LIMIT rs_size`` (plans/oracles.py).
     """
     rs_size = max(1, cfg.rs_size(db_size))
     # ONE driver pull for all attribute columns (the reference runs one
@@ -51,18 +61,20 @@ def build_reference_samples(
     samples: dict[int, np.ndarray] = {}
     s = 1
     for col in cols:
-        # distinct on RAW values, length filter, THEN uppercase — the
-        # reference's exact order (ReferenceSetBlocking.java:34-35); a
-        # case-colliding pair stays as two (equal) sample entries
+        # distinct on RAW values, length filter, uppercase AFTER selection —
+        # the selection key uses the raw value (unique post-distinct), so a
+        # case-colliding pair stays as two individually-drawable entries
         vals = pdf[col].dropna().unique()
-        vals = vals[np.char.str_len(vals.astype(str)) > 1]
-        vals = np.char.upper(vals.astype(str)).astype(object)
-        # canonical order before permuting so sampling is partition-invariant
-        vals = np.sort(vals)
+        vals = vals[np.char.str_len(vals.astype(str)) > 1].astype(str)
         for j in range(cfg.num_samples):
-            rng = np.random.default_rng(cfg.seed * 10_000 + s)
-            perm = rng.permutation(len(vals))[:rs_size]
-            samples[s] = np.sort(vals[perm])
+            keys = np.array(
+                [
+                    hashlib.md5(f"{cfg.seed}|{s}|{v}".encode("utf-8")).hexdigest()
+                    for v in vals
+                ]
+            )
+            sel = vals[np.argsort(keys)[:rs_size]]
+            samples[s] = np.sort(np.char.upper(sel).astype(object))
             s += 1
     return samples
 

@@ -52,6 +52,15 @@ def hlsh_keys(
     seed = cfg.seed if seed is None else seed
     n = cfg.num_attrs
     m = cfg.bloom_m
+    # key packs bits_per_key bits into ONE signed bigint via shiftleft —
+    # >= 64 would silently wrap and collapse distinct keys into shared
+    # buckets (candidate inflation with no error)
+    if not (1 <= bits_per_key <= 63):
+        raise ValueError(f"bits_per_key must be in [1, 63], got {bits_per_key}")
+    if bits_per_key > n * m:
+        raise ValueError(
+            f"bits_per_key={bits_per_key} exceeds total filter bits {n * m}"
+        )
     cols = [f"bloom_{i+1}" for i in range(n)]
     rng = np.random.default_rng(seed * 1_000 + 77)
     passes = []
@@ -86,14 +95,17 @@ def hlsh_candidate_pairs(
     """
     keys = hlsh_keys(blooms, cfg, num_passes, bits_per_key, seed)
     if max_bucket_size is not None:
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("pass", "key").rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing
+        # slim count-aggregate + left_semi join (NOT a window): the purge
+        # exists precisely for degenerate hot buckets (e.g. the all-zeros
+        # key), and a window would co-locate such a bucket on one task
+        # before dropping it — the aggregate never does
+        keep = (
+            keys.groupBy("pass", "key")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("pass", "key")
         )
-        keys = keys.withColumn("_n", F.count(F.lit(1)).over(w)).where(
-            F.col("_n") <= max_bucket_size
-        ).drop("_n")
+        keys = keys.join(keep, ["pass", "key"], "left_semi")
     a = keys.where(F.col("party") == "A").select(
         "pass", "key", F.col("recordID").alias("record1")
     )

@@ -193,13 +193,21 @@ def _weighted_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
     pairs = joined.select(
         F.when(F.col("party") == "A", F.col("recordID")).otherwise(F.col("t_id")).alias("record1"),
         F.when(F.col("party") == "A", F.col("t_id")).otherwise(F.col("recordID")).alias("record2"),
-        (F.lit(1.0) / F.col("block_n")).alias("_arcs_part"),
+        F.col("blockID"),
+        F.col("block_n"),
     )
     # meta-blocking weighted edge pruning (north-star; the reference only
-    # dedups, MetaBlocking.java:35): CBS = number of co-occurring blocks,
-    # ARCS = sum of 1/|block|. The aggregate costs the same shuffle the
-    # plain dropDuplicates would.
-    return pairs.groupBy("record1", "record2").agg(
+    # dedups, MetaBlocking.java:35): CBS = number of DISTINCT co-occurring
+    # blocks, ARCS = sum of 1/|block| over those distinct blocks. Cyclic
+    # pairing can emit the same blockID twice for one record (duplicate
+    # adjacent classIDs), so emissions are first collapsed per
+    # (pair, blockID) — otherwise one block would count as CBS=2 and
+    # double-add its ARCS term. Two-level aggregate: the first groupBy
+    # partial-aggregates map-side, so the extra pass is cheap.
+    per_block = pairs.groupBy("record1", "record2", "blockID").agg(
+        F.min("block_n").alias("_bn")
+    )
+    return per_block.groupBy("record1", "record2").agg(
         F.count(F.lit(1)).alias("cbs_weight"),
-        F.sum("_arcs_part").alias("arcs_weight"),
+        F.sum(F.lit(1.0) / F.col("_bn")).alias("arcs_weight"),
     )
