@@ -358,19 +358,23 @@ def _q_dedup_minhash_sig(spark, sf_dir):
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").where(F.length("text") >= 5)
-    return dedup.minhash_lsh_pairs(d, num_hashes=8, num_bands=4, shingle_q=5)
+    return dedup.minhash_lsh_pairs(
+        d, num_hashes=8, num_bands=4, shingle_q=5, max_bucket_size=200
+    )
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").where(
         (F.col("doc_id") < 60) & (F.length("text") >= 3)
     )
-    return dedup.ngram_jaccard_pairs(d, q=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(d, q=3, threshold=0.2, df_cap=40)
 
 
 def _q_dedup_simhash(spark, sf_dir):
+    """Manku-setting near-dups (hamming <= 3, exhaustive banding) —
+    oracle = brute-force hamming join in DuckDB."""
     d = _read(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=16)
+    return dedup.simhash_near_pairs(d, max_hamming=3, num_chunks=4)
 
 
 def _q_text_token_stats(spark, sf_dir):
@@ -437,9 +441,12 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
+    """Single-probe hyperplane LSH; the DuckDB oracle reproduces the SAME
+    algorithm (identical seeded plane literals), so recall losses are
+    checked too, not just the happy path. dim is fixed by the testdata
+    schema (embeddings are 64-d at every SF) — no .first() probe job."""
     e = _read(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
-    return similarity.lsh_bucket_topk(e, e.where(F.col("vec_id") < 5), dim=dim, k=5)
+    return similarity.lsh_bucket_topk(e, e.where(F.col("vec_id") < 5), dim=64, k=5)
 
 
 def _q_pprl_hlsh_matches(spark, sf_dir):
@@ -528,6 +535,8 @@ def oracle_sql() -> dict[str, str]:
         # full-pipeline DuckDB twins (recursive-CTE binary search, Dice,
         # connected components, HLSH) — plans/oracles.py
         **oracles.pprl_oracles(CFG, rs_size=CFG.rs_size_override),
+        "dedup_simhash": oracles.simhash_oracle(max_hamming=3),
+        "ann_lsh_topk": oracles.ann_lsh_oracle(dim=64, num_planes=8, k=5, seed=42),
         "rel_project_filter": """
             SELECT c_custkey, upper(c_name) AS name_u, c_acctbal, c_mktsegment
             FROM customer WHERE c_acctbal > 100
@@ -651,9 +660,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, h // 2 AS band,
                      string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h) AS band_sig
               FROM sig GROUP BY doc_id, h // 2
+            ), bandkeep AS (
+              SELECT band, band_sig FROM band
+              GROUP BY band, band_sig HAVING count(*) <= 200
+            ), bandk AS (
+              SELECT b.* FROM band b JOIN bandkeep k USING (band, band_sig)
             )
             SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-            FROM band l JOIN band r
+            FROM bandk l JOIN bandk r
               ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
         """,
         "dedup_exact": """
@@ -682,10 +696,25 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 2)) AS i FROM d)
             ), sz AS (
               SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
-            ), inter AS (
-              SELECT l.doc_id AS id1, r.doc_id AS id2, count(*) AS c
-              FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id < r.doc_id
+            ), gdf AS (
+              SELECT gram, count(*) AS df FROM g GROUP BY gram
+            ), rare AS (
+              SELECT g.doc_id, g.gram FROM g JOIN gdf USING (gram) WHERE gdf.df <= 40
+            ), hot AS (
+              SELECT g.doc_id, g.gram FROM g JOIN gdf USING (gram) WHERE gdf.df > 40
+            ), ir AS (
+              SELECT l.doc_id AS id1, r.doc_id AS id2, count(*) AS n_rare
+              FROM rare l JOIN rare r ON l.gram = r.gram AND l.doc_id < r.doc_id
               GROUP BY l.doc_id, r.doc_id
+            ), ih AS (
+              SELECT c.id1, c.id2, count(*) AS n_hot
+              FROM ir c
+              JOIN hot h1 ON h1.doc_id = c.id1
+              JOIN hot h2 ON h2.doc_id = c.id2 AND h2.gram = h1.gram
+              GROUP BY c.id1, c.id2
+            ), inter AS (
+              SELECT id1, id2, n_rare + COALESCE(n_hot, 0) AS c
+              FROM ir LEFT JOIN ih USING (id1, id2)
             )
             SELECT id1, id2, round(c / (s1.n + s2.n - c), 4) AS jaccard
             FROM inter

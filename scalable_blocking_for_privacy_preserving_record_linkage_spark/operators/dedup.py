@@ -61,12 +61,16 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     num_bands: int = 4,
     shingle_q: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding (id1 < id2, distinct).
 
     Scale shape: explode to (band, band_sig, id), self-equi-join on the
-    band key — collisions only; hot buckets are bounded because identical
-    band_sigs imply near-identical text.
+    band key — collisions only. ``max_bucket_size`` purges degenerate hot
+    buckets (e.g. the signature of empty/boilerplate text, which at web
+    scale turns one bucket into an n² join) with a slim count-aggregate +
+    left_semi join BEFORE the pair join — the same skew guard as HLSH
+    bucket purging (operators/hlsh.py).
     """
     rows = num_hashes // num_bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_q)
@@ -76,6 +80,14 @@ def minhash_lsh_pairs(
             hashing.minhash_bands_expr(F.col("signature"), num_bands, rows)
         ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+    if max_bucket_size is not None:
+        keep = (
+            banded.groupBy("band", "band_sig")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(keep, ["band", "band_sig"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -102,15 +114,33 @@ def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     num_chunks: int = 4,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
-    """SimHash near-dups: band the 64-bit hash into ``num_chunks`` 16-bit
-    chunks — any pair within hamming <= num_chunks*? shares at least one
-    chunk by pigeonhole when hamming < num_chunks; join on (chunk_idx,
-    chunk_value), then verify exact hamming <= max_hamming (Catalyst
-    bit_count). Never an all-pairs comparison.
+    """SimHash near-dups: band the 64-bit hash into ``num_chunks`` chunks;
+    by pigeonhole, any pair with hamming < num_chunks shares at least one
+    unchanged chunk, so the (chunk_idx, chunk_value) equi-join is
+    EXHAUSTIVE for ``max_hamming <= num_chunks - 1`` — the exact hamming
+    verify (Catalyst bit_count) then makes the result equal to the
+    brute-force pair set (which is what the DuckDB oracle computes).
+    Never an all-pairs comparison.
+
+    Defaults follow the production web-dedup setting (Manku et al.,
+    WWW'07: 64-bit simhash, hamming <= 3): 4 chunks of 16 bits give
+    ~n/65536 docs per bucket — the widest chunks (smallest buckets) that
+    still guarantee full recall at this radius.
+
+    ``max_hamming >= num_chunks`` loses the guarantee (pairs whose
+    differing bits straddle every chunk are silently dropped); that mode
+    must be opted into with ``allow_partial_recall=True``.
     """
+    if max_hamming >= num_chunks and not allow_partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= num_chunks={num_chunks} loses the "
+            "pigeonhole recall guarantee; raise num_chunks or pass "
+            "allow_partial_recall=True"
+        )
     sims = simhash_table(ensure_parallelism(docs), id_col, text_col)
     bits_per = 64 // num_chunks
     mask = (1 << bits_per) - 1
@@ -158,24 +188,68 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     q: int = 3,
     threshold: float = 0.2,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Character q-gram Jaccard similarity via inverted-index self-join.
 
     |A∩B| comes from the gram-level equi-join (count of shared DISTINCT
     grams), |A∪B| = |A|+|B|-|A∩B|; only pairs sharing >= 1 gram ever
     materialize. Output: (id1, id2, jaccard rounded to 4).
+
+    ``df_cap`` is the stop-gram skew guard the inverted index needs at
+    corpus scale: a gram occurring in more than ``df_cap`` documents (a
+    stopword-like shingle) would contribute ~df² join rows on ONE key.
+    Capped grams are excluded from CANDIDATE GENERATION only — for every
+    surviving candidate pair the hot-gram overlap is added back via a
+    bounded pair×grams join, so the reported Jaccard stays EXACT. The only
+    semantic change: pairs sharing nothing but stop-grams are dropped
+    (by construction they sit far below any useful threshold).
     """
     grams = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(qgrams_expr(F.col(text_col), q))).alias("gram"),
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    l, r = grams.alias("l"), grams.alias("r")
-    inter = (
-        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if df_cap is not None:
+        gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        rare = grams.join(
+            gram_df.where(F.col("_df") <= df_cap).select("gram"), "gram", "left_semi"
+        )
+        hot = grams.join(
+            gram_df.where(F.col("_df") > df_cap).select("gram"), "gram", "left_semi"
+        )
+        l, r = rare.alias("l"), rare.alias("r")
+        inter_rare = (
+            l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
+            .groupBy(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("n_rare"))
+        )
+        # add back hot-gram overlap for the surviving candidates only:
+        # bounded by |candidates| × hot-grams-per-doc, never df²
+        h1 = hot.select(F.col("id").alias("id1"), "gram")
+        h2 = hot.select(F.col("id").alias("id2"), "gram")
+        inter_hot = (
+            inter_rare.select("id1", "id2")
+            .join(h1, "id1")
+            .join(h2, ["id2", "gram"])
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("n_hot"))
+        )
+        inter = (
+            inter_rare.join(inter_hot, ["id1", "id2"], "left_outer")
+            .select(
+                "id1",
+                "id2",
+                (F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))).alias("n_common"),
+            )
+        )
+    else:
+        l, r = grams.alias("l"), grams.alias("r")
+        inter = (
+            l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
+            .groupBy(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_grams", "n1"), "id1")
         .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_grams", "n2"), "id2")

@@ -390,6 +390,81 @@ comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
     )
 
 
+def simhash_oracle(max_hamming: int) -> str:
+    """BRUTE-FORCE simhash near-pair oracle: recompute every document's
+    64-bit simhash (md5-first-8-bytes token fingerprints, sign of the
+    per-bit vote — functions/hashing.py:simhash_udf) and join ALL pairs on
+    exact hamming distance. Independent of the banding shortcut, so it
+    verifies the pigeonhole recall guarantee, not just the verify step."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+),
+bitacc AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (('0x' || substr(md5(tok), 1, 16))::UBIGINT >> b) & 1 = 1
+                  THEN 1 ELSE -1 END) AS acc
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY doc_id, b
+),
+shx AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN
+                    CASE WHEN b = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << b) END
+                  ELSE 0 END) AS BIGINT) AS sh
+  FROM bitacc GROUP BY doc_id
+),
+allsh AS (
+  SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+  FROM documents d LEFT JOIN shx s USING (doc_id)
+)
+SELECT l.doc_id AS id1, r.doc_id AS id2,
+       CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+FROM allsh l JOIN allsh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sh, r.sh)) <= {max_hamming}
+"""
+
+
+def ann_lsh_oracle(
+    dim: int, num_planes: int = 8, k: int = 5, seed: int = 42
+) -> str:
+    """Oracle for single-probe hyperplane LSH top-k: the SAME seeded
+    hyperplanes (operators/similarity.py:lsh_bucket_topk draws them from
+    numpy default_rng(seed)) inlined as literal arrays, sign-bucket join,
+    exact cosine re-rank. Checks the algorithm including its recall
+    behavior — not an idealized ANN answer."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in planes[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH bv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST({bucket_terms} AS BIGINT) AS bucket
+  FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM bv q JOIN bv c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
 def pprl_oracles(cfg: PPRLConfig, rs_size: int) -> dict[str, str]:
     """DuckDB oracle SQL for every pprl_* driver query."""
     pre = pipeline_prefix(cfg, rs_size)

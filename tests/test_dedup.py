@@ -1,0 +1,121 @@
+"""Dedup-family unit tests: simhash recall guarantee, stop-gram capping
+exactness, MinHash bucket purge. (The driver contract additionally
+value-checks each of these against DuckDB oracles at sf0.01.)"""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    texts = [base]
+    # token-level perturbations at growing distance from the base
+    toks = base.split()
+    for i in range(1, 12):
+        t = list(toks)
+        for j in range(i):
+            t[(3 * j) % len(t)] = f"tok{i}x{j}"
+        texts.append(" ".join(t))
+    texts += ["completely different content about spark and parquet files"] * 2
+    texts += ["", "   "]
+    return _docs(spark, texts)
+
+
+def test_simhash_banding_equals_brute_force(spark, near_dup_docs):
+    """For max_hamming < num_chunks the banded join must return EXACTLY
+    the brute-force hamming pair set (pigeonhole guarantee)."""
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_table(near_dup_docs).collect()
+    }
+    for mh, chunks in ((3, 4), (7, 8)):
+        got = {
+            (r["id1"], r["id2"])
+            for r in dedup.simhash_near_pairs(
+                near_dup_docs, max_hamming=mh, num_chunks=chunks
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sims), 2)
+            if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= mh
+        }
+        assert got == want, f"mh={mh} chunks={chunks}"
+
+
+def test_simhash_partial_recall_requires_opt_in(spark, near_dup_docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(near_dup_docs, max_hamming=16, num_chunks=4)
+    # opted in: runs, and is a subset of brute force
+    dedup.simhash_near_pairs(
+        near_dup_docs, max_hamming=16, num_chunks=4, allow_partial_recall=True
+    ).collect()
+
+
+def test_ngram_jaccard_df_cap_exactness(spark, near_dup_docs):
+    """Capped run must report IDENTICAL jaccard values for every pair it
+    returns, and only drop pairs that share no rare gram."""
+    uncapped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(near_dup_docs, q=3, threshold=0.1).collect()
+    }
+    capped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_docs, q=3, threshold=0.1, df_cap=10
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    for pair, j in capped.items():
+        assert j == uncapped[pair], pair
+    # a generous cap binds nothing: exact equality
+    loose = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_docs, q=3, threshold=0.1, df_cap=10_000
+        ).collect()
+    }
+    assert loose == uncapped
+
+
+def test_minhash_bucket_cap_purges_hot_bucket(spark):
+    """30 identical docs form one hot bucket per band; a cap below 30
+    must drop all their pairs while distinct near-dups survive."""
+    texts = ["boilerplate cookie banner text repeated everywhere"] * 30
+    texts += [
+        "unique article about rivers and mountains in the north",
+        "unique article about rivers and mountains in the south",
+    ]
+    docs = _docs(spark, texts)
+    uncapped = dedup.minhash_lsh_pairs(docs, num_hashes=8, num_bands=4, shingle_q=5)
+    capped = dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, num_bands=4, shingle_q=5, max_bucket_size=10
+    )
+    n_unc = uncapped.count()
+    assert n_unc >= 30 * 29 / 2
+    got = {(r["id1"], r["id2"]) for r in capped.collect()}
+    assert (30, 31) in got  # the near-dup pair survives
+    assert all(a >= 30 for a, _ in got)  # every boilerplate pair is purged
+
+
+def test_minhash_lsh_pairs_unaffected_by_loose_cap(spark, near_dup_docs):
+    base = {
+        (r["id1"], r["id2"])
+        for r in dedup.minhash_lsh_pairs(near_dup_docs).collect()
+    }
+    loose = {
+        (r["id1"], r["id2"])
+        for r in dedup.minhash_lsh_pairs(near_dup_docs, max_bucket_size=10_000).collect()
+    }
+    assert base == loose
