@@ -16,11 +16,18 @@ the scoring loop.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vectors import cosine_expr
 from ..sources.io import ensure_parallelism
+
+# above this list count, per-centroid plan literals would blow up the
+# expression tree; switch to an Arrow-batched numpy scorer over broadcast
+# centroids (one matmul per batch)
+_LITERAL_NLIST_MAX = 64
 
 
 def brute_force_topk(
@@ -96,13 +103,20 @@ def ivf_build_centroids(
     The sample is bounded (``sample_cap``) so this stays a driver-scale
     computation regardless of corpus size — the standard IVF coarse-
     quantizer training recipe. Deterministic given the seed.
+
+    Sampling: order by a seeded hash of the id and take the first
+    ``sample_cap`` — an unbiased pseudo-random draw (better k-means
+    training data than the lowest ids), and Catalyst compiles
+    orderBy+limit to TakeOrderedAndProject (per-partition top-k heap +
+    driver merge), so NO global sort or shuffle of the corpus happens.
     """
     pdf = (
         corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(sample_cap)
         .toPandas()
     )
+    pdf = pdf.sort_values(id_col).reset_index(drop=True)
     x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -142,6 +156,47 @@ def _nearest_centroids_expr(vec, cents: np.ndarray, nprobe: int):
     return F.slice(ranked, 1, nprobe)
 
 
+def _nearest_centroid_ids_udf(spark: SparkSession, cents: np.ndarray, nprobe: int):
+    """Arrow-batched centroid assigner for LARGE nlist: centroids broadcast
+    once, one (batch × nlist) matmul per Arrow batch — the scale path when
+    inlining nlist literal arrays would explode the Catalyst plan.
+
+    Tie order on exactly-equal scores is ascending cid (the literal
+    expression breaks ties by descending cid) — indistinguishable on
+    continuous embeddings.
+    """
+    bc = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        sims = x @ c.T
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _assign
+
+
+def _probe_lists_expr(
+    spark: SparkSession,
+    vec,
+    cents: np.ndarray,
+    nprobe: int,
+    assignment: str = "auto",
+):
+    """array<int> of the nprobe nearest centroid ids — literal expression
+    for small nlist, broadcast numpy scorer above _LITERAL_NLIST_MAX."""
+    use_udf = assignment == "udf" or (
+        assignment == "auto" and len(cents) > _LITERAL_NLIST_MAX
+    )
+    if use_udf:
+        return _nearest_centroid_ids_udf(spark, cents, nprobe)(vec)
+    return F.transform(
+        _nearest_centroids_expr(vec, cents, nprobe), lambda s: s["cid"]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,6 +205,7 @@ def ivf_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their nearest centroid's
     inverted list; each query probes its ``nprobe`` nearest lists only.
@@ -157,23 +213,23 @@ def ivf_topk(
     Plan shape: corpus side = one narrow projection (list assignment) —
     at 10^12 scale this is the partition key of the stored index; query
     side explodes to nprobe rows and equi-joins on the list id. Exact
-    cosine re-ranks within the probed lists.
+    cosine re-ranks within the probed lists. List assignment is a literal
+    expression for small nlist and an Arrow-batched broadcast-numpy
+    scorer above ``_LITERAL_NLIST_MAX`` (``assignment`` forces either).
     """
+    spark = corpus.sparkSession
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(_nearest_centroids_expr(F.col(vec_col), centroids, 1), 1)[
-            "cid"
-        ].alias("list_id"),
+        F.element_at(
+            _probe_lists_expr(spark, F.col(vec_col), centroids, 1, assignment), 1
+        ).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(
-            F.transform(
-                _nearest_centroids_expr(F.col(vec_col), centroids, nprobe),
-                lambda s: s["cid"],
-            )
+            _probe_lists_expr(spark, F.col(vec_col), centroids, nprobe, assignment)
         ).alias("list_id"),
     )
     scored = (

@@ -12,10 +12,11 @@ is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PPRLConfig
+from ..operators.ranking import global_rank
 
 TESTDATA_CFG = PPRLConfig(rs_size_override=25, purge_max_block_size=500)
 
@@ -61,8 +62,10 @@ def reference_sets_from_records(records: DataFrame, cfg: PPRLConfig) -> DataFram
     (stands in for the reference's external public CSV, SQLData.java:46-51)."""
     cols = []
     for i, attr in enumerate(cfg.blocking_attrs):
-        vals = records.select(F.col(attr).alias("v")).distinct().withColumn(
-            "rn", F.row_number().over(Window.orderBy("v"))
+        # two-phase global rank — NOT Window.orderBy with no partitionBy,
+        # which would funnel the whole distinct-value set through one task
+        vals = global_rank(
+            records.select(F.col(attr).alias("v")).distinct(), "v"
         )
         cols.append(vals.select(F.col("rn"), F.col("v").alias(f"col{i+1}")))
     out = cols[0]

@@ -33,7 +33,14 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     the scan arrives with adequate partitioning (many files / row groups)
     and this is a no-op — the round-robin shuffle only fires when the
     input is narrower than the available cores.
+
+    Streaming frames pass through untouched (``df.rdd`` would raise on
+    them, and micro-batch partitioning is the source's job). The partition
+    probe itself is driver-side plan construction only — no job runs — but
+    it is not free, so call this once per input scan, not per stage.
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -72,6 +72,7 @@ def match_stream_against(
     static_blooms: DataFrame,
     samples: dict[int, np.ndarray],
     cfg: PPRLConfig,
+    dedup_retention: str = "1 hour",
 ) -> DataFrame:
     """Stream-static linkage: each incoming record (party B) is classified
     AND Bloom-encoded in ONE projection (a single pandas-UDF pass — two
@@ -131,7 +132,20 @@ def match_stream_against(
         )
     )
     joined = stream_elements.join(a_index, "blockID")
-    return matching.score_joined(joined, cfg).dropDuplicates(["record1", "record2"])
+    scored = matching.score_joined(joined, cfg)
+    if scored.isStreaming:
+        # BOUNDED dedup state: a bare dropDuplicates on an unbounded
+        # stream grows the state store forever. Pairs are deduped within
+        # ``dedup_retention`` of arrival time and the watermark lets the
+        # store evict older keys (a pair re-emitted after retention is a
+        # re-notification, not corruption — sinks upsert on the pair key).
+        return (
+            scored.withColumn("_arrival_ts", F.current_timestamp())
+            .withWatermark("_arrival_ts", dedup_retention)
+            .dropDuplicatesWithinWatermark(["record1", "record2"])
+            .drop("_arrival_ts")
+        )
+    return scored.dropDuplicates(["record1", "record2"])
 
 
 def windowed_event_counts(

@@ -28,9 +28,20 @@ STATE_SCHEMA = "session_start double, last_ts double, n_events int"
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
-    timeout_ms: int = 30_000,
+    timeout_ms: int | None = None,
 ) -> DataFrame:
-    """events(user_id, ts, ...) stream -> closed sessions stream."""
+    """events(user_id, ts, ...) stream -> closed sessions stream.
+
+    The idle-flush timeout is PROCESSING time while the gap rule is EVENT
+    time, so a too-small timeout could flush (split) a session whose next
+    event is still in flight. Default: ``2 * gap_seconds`` of processing
+    time — as long as ingest lag stays under one event-time gap, a flush
+    can only fire after the session is genuinely closed by the gap rule.
+    Pass an explicit ``timeout_ms`` to trade earlier emission for possible
+    splits (the split is a duplicate-session emission, not data loss).
+    """
+    if timeout_ms is None:
+        timeout_ms = 2 * gap_seconds * 1000
 
     def fn(
         key: tuple,

@@ -49,3 +49,23 @@ def test_ivf_full_probe_equals_exact(spark, emb):
     e = sorted(map(tuple, exact.collect()))
     a = sorted(map(tuple, approx.collect()))
     assert e == a
+
+
+def test_ivf_assignment_udf_equals_literal(spark, emb):
+    """The broadcast-numpy assigner (large-nlist path) must agree with the
+    literal-expression path on both probing and final top-k."""
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = similarity.ivf_build_centroids(emb, n_centroids=8, seed=42)
+    lit = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=3, assignment="literal")
+    udf = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=3, assignment="udf")
+    assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, udf.collect()))
+
+
+def test_ivf_large_nlist_avoids_literal_plan(spark, emb):
+    """Above the literal cap the corpus-side plan must contain a pandas
+    UDF (ArrowEvalPython), not hundreds of inlined centroid arrays."""
+    cents = similarity.ivf_build_centroids(emb, n_centroids=80, iters=1, seed=3)
+    queries = emb.where(F.col("vec_id") < 2)
+    df = similarity.ivf_topk(emb, queries, cents, k=2, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
