@@ -452,7 +452,11 @@ def _q_ann_lsh_topk(spark, sf_dir):
 def _q_pprl_hlsh_matches(spark, sf_dir):
     """Alternative blocking path: HLSH over Bloom segments -> Dice."""
     records = _pprl_records(spark, sf_dir)
-    blooms = matching.encode_blooms(records, CFG)
+    # materialize the encoded filters once: the plan consumes them ~6x
+    # (key passes, bucket purge, both join sides, Dice attach) and the
+    # pandas-UDF encoder would otherwise re-run for each consumer — the
+    # reference persists its inputs for the same reason (Simulator.java:42-46)
+    blooms = matching.encode_blooms(records, CFG).localCheckpoint()
     pairs = hlsh.hlsh_candidate_pairs(blooms, CFG, num_passes=8, bits_per_key=16)
     return matching.match_candidates(pairs, blooms, CFG).select(
         "record1", "record2", "matched_fields"

@@ -45,6 +45,12 @@ class PPRLConfig:
     seed: int = 42
     rs_size_override: int | None = None          # explicit RS_SIZE, else fraction
     purge_max_block_size: int | None = 500       # drop blocks with more elements
+    # hint the two pairs×blooms attach-joins to broadcast the bloom side.
+    # Correct ONLY when the encoded party tables fit an executor (single-
+    # node / bench scale); at cluster scale leave False — the blooms are
+    # petabytes there and the join must stay a shuffled (bucketed) join.
+    # AQE cannot infer this itself: the pandas-UDF encoder hides the size.
+    broadcast_blooms: bool = False
     salt_buckets: int = 0                        # >0: salt hot groupBy keys
     # meta-blocking edge pruning (north-star; reference has none):
     # keep a candidate pair only if it co-occurs in >= min_cbs_weight blocks

@@ -20,11 +20,18 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    matches: DataFrame, max_iterations: int = 20
+    matches: DataFrame, max_iterations: int = 20, check_every: int = 2
 ) -> DataFrame:
     """(record1, record2) -> (node, component) with component = min node id.
 
     record1 is an Alice id, record2 a Bob id.
+
+    Job economy (at tiny per-iteration data, fixed job overhead dominates
+    e2e wall time): every checkpoint is LAZY — materialized by the next
+    convergence count — and the convergence check (the only action) runs
+    every ``check_every`` rounds, so two propagation rounds ride one job.
+    Linkage components are shallow (bounded by duplicate multiplicity), so
+    the extra no-op round after convergence is a cheap narrow join.
     """
     edges = matches.select(
         F.concat(F.lit("A:"), F.col("record1")).alias("u"),
@@ -32,38 +39,39 @@ def connected_components(
     )
     # symmetric adjacency
     adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    adj = adj.dropDuplicates(["u", "v"]).localCheckpoint()
+    adj = adj.dropDuplicates(["u", "v"]).localCheckpoint(eager=False)
 
     labels = (
         adj.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
-    for _ in range(max_iterations):
+    prev_checked = labels
+    for it in range(1, max_iterations + 1):
         # candidate label for each node: min over (own label, neighbors' labels)
         neighbor_labels = (
             adj.join(labels.withColumnRenamed("node", "v"), "v")
             .select(F.col("u").alias("node"), "component")
         )
-        # lazy checkpoint: materialized by the convergence count below —
-        # ONE job per iteration, lineage still truncated for the next round
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
-            break
+        if it % check_every == 0 or it == max_iterations:
+            changed = (
+                new_labels.alias("n")
+                .join(prev_checked.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            prev_checked = new_labels
+            if changed == 0:
+                break
     return labels
 
 

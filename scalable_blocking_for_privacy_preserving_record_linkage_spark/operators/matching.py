@@ -64,6 +64,8 @@ def match_candidates(
         *[F.col(f"bloom_{i+1}").alias(f"bloomB_{i+1}") for i in range(n)],
         *[F.col(f"card_{i+1}").alias(f"cardB_{i+1}") for i in range(n)],
     )
+    if cfg.broadcast_blooms:
+        blooms_a, blooms_b = F.broadcast(blooms_a), F.broadcast(blooms_b)
     joined = pairs.join(blooms_a, "record1", "inner").join(blooms_b, "record2", "inner")
     return score_joined(joined, cfg, keep_similarities)
 

@@ -75,13 +75,18 @@ def run_pipeline(
 
     normalized = ensure_parallelism(extract.normalize_records(records, cfg)).cache()
 
-    party_counts = {
-        r["party"]: r["count"]
-        for r in normalized.groupBy("party").count().collect()
-    }
-    n_alice = party_counts.get("A", 0)
-    n_bob = party_counts.get("B", 0)
-    db_size = max(n_alice, n_bob)
+    # the party-count job exists only to size the RS draw and the metrics
+    # denominators — skip it entirely when the RS size is pinned and no
+    # metrics were requested (one less job on the e2e path)
+    n_alice = n_bob = db_size = 0
+    if cfg.rs_size_override is None or with_metrics:
+        party_counts = {
+            r["party"]: r["count"]
+            for r in normalized.groupBy("party").count().collect()
+        }
+        n_alice = party_counts.get("A", 0)
+        n_bob = party_counts.get("B", 0)
+        db_size = max(n_alice, n_bob)
 
     samples = classify.build_reference_samples(reference_sets, cfg, db_size)
 

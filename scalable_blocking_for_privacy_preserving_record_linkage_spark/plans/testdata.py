@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from ..config import PPRLConfig
 from ..operators.ranking import global_rank
 
-TESTDATA_CFG = PPRLConfig(rs_size_override=25, purge_max_block_size=500)
+TESTDATA_CFG = PPRLConfig(
+    rs_size_override=25, purge_max_block_size=500, broadcast_blooms=True
+)
 
 # DuckDB twin of records_from_documents (kept adjacent so they evolve together)
 RECORDS_ORACLE_SQL = """
@@ -60,13 +62,26 @@ def records_from_documents(docs: DataFrame) -> DataFrame:
 def reference_sets_from_records(records: DataFrame, cfg: PPRLConfig) -> DataFrame:
     """Public reference table derived from the distinct attribute values
     (stands in for the reference's external public CSV, SQLData.java:46-51)."""
+    # ONE pass over the records for all attribute vocabularies (unpivot +
+    # distinct), materialized once — the per-attr ranking jobs then read
+    # the small checkpointed value set instead of re-deriving records
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i + 1).alias("ai"), F.col(attr).alias("v"))
+            for i, attr in enumerate(cfg.blocking_attrs)
+        ]
+    )
+    vocab = (
+        records.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.ai").alias("ai"), F.col("p.v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     cols = []
-    for i, attr in enumerate(cfg.blocking_attrs):
+    for i in range(len(cfg.blocking_attrs)):
         # two-phase global rank — NOT Window.orderBy with no partitionBy,
         # which would funnel the whole distinct-value set through one task
-        vals = global_rank(
-            records.select(F.col(attr).alias("v")).distinct(), "v"
-        )
+        vals = global_rank(vocab.where(F.col("ai") == i + 1).select("v"), "v")
         cols.append(vals.select(F.col("rn"), F.col("v").alias(f"col{i+1}")))
     out = cols[0]
     for c in cols[1:]:
