@@ -471,15 +471,30 @@ def _q_events_windowed(spark, sf_dir):
 
 
 def _q_mm_features(spark, sf_dir):
+    """Full feature surface — rows-only by design: mean/std/phash come from
+    the declared fake codec (PRNG-decoded pixels, not SQL-expressible).
+    The SQL-checkable slice of the same mapInPandas pass is mm_inventory."""
     d = _read(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(d)
     return multimodal.extract_features(media)
 
 
-def _q_mm_frames(spark, sf_dir):
+def _q_mm_inventory(spark, sf_dir):
+    """Oracle-checked multimodal plumbing: synthesize_media + the Arrow
+    mapInPandas feature pass, projected to the codec-independent columns
+    (kind routing, payload byte counts COMPUTED INSIDE THE UDF)."""
     d = _read(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(d)
-    return multimodal.sample_frames(media, every=2)
+    return multimodal.extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+def _q_mm_frames(spark, sf_dir):
+    """Frame-sampling plumbing, oracle-checked on its structure: one row
+    per kept frame per video with the right stride. frame_mean (fake
+    codec output) is pinned by tests/test_multimodal.py instead."""
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d)
+    return multimodal.sample_frames(media, every=2).select("media_id", "frame_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -526,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (unified batch/stream code path) + multimodal
         "events_windowed": _q_events_windowed,
         "mm_features": _q_mm_features,
+        "mm_inventory": _q_mm_inventory,
         "mm_frames": _q_mm_frames,
     }
 
@@ -540,6 +556,18 @@ def oracle_sql() -> dict[str, str]:
         # connected components, HLSH) — plans/oracles.py
         **oracles.pprl_oracles(CFG, rs_size=CFG.rs_size_override),
         "dedup_simhash": oracles.simhash_oracle(max_hamming=3),
+        "mm_inventory": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(strlen(text) AS INTEGER) AS n_bytes
+            FROM documents
+        """,
+        "mm_frames": """
+            SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx
+            FROM (SELECT doc_id, unnest(range(0, CAST(doc_id % 7 + 2 AS INT), 2)) AS f
+                  FROM documents WHERE doc_id % 3 = 2)
+        """,
         "ann_lsh_topk": oracles.ann_lsh_oracle(dim=64, num_planes=8, k=5, seed=42),
         "rel_project_filter": """
             SELECT c_custkey, upper(c_name) AS name_u, c_acctbal, c_mktsegment

@@ -156,17 +156,20 @@ def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image":
+            # zip over column arrays, not .iterrows() — per-item decode is
+            # inherent (variable-size payloads), but row-Series construction
+            # isn't, and it dominates at small payloads
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "image":
                     continue
-                w, h = int(r["meta"]["width"]), int(r["meta"]["height"])
-                px = _fake_pixels(bytes(r["payload"]), w, h)
+                w, h = int(meta["width"]), int(meta["height"])
+                px = _fake_pixels(bytes(payload), w, h)
                 yi = (np.arange(target) * h // target).clip(0, h - 1)
                 xi = (np.arange(target) * w // target).clip(0, w - 1)
                 resized = px[np.ix_(yi, xi)]
-                rows.append(
-                    (int(r["media_id"]), target, target, resized.tobytes())
-                )
+                rows.append((int(mid), target, target, resized.tobytes()))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
 
     return media.mapInPandas(fn, schema=_RESIZE_SCHEMA)
@@ -182,16 +185,18 @@ def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, means = [], [], []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video":
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
                     continue
-                w, h = int(r["meta"]["width"]), int(r["meta"]["height"])
-                nf = int(r["meta"]["n_frames"])
+                w, h = int(meta["width"]), int(meta["height"])
+                nf = int(meta["n_frames"])
                 for f_idx in range(0, nf, every):
                     frame = _fake_pixels(
-                        bytes(r["payload"]) + f_idx.to_bytes(4, "big"), w, h
+                        bytes(payload) + f_idx.to_bytes(4, "big"), w, h
                     )
-                    ids.append(int(r["media_id"]))
+                    ids.append(int(mid))
                     idxs.append(f_idx)
                     means.append(float(frame.mean()))
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_mean": means})

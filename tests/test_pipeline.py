@@ -124,3 +124,27 @@ def test_catalog_fallback_roundtrip(spark, tmp_path):
     # partition layout materialized (partition pruning works on read)
     import os
     assert os.path.isdir(os.path.join(wh, "db", "t1", "part=a"))
+
+
+def test_north_star_f1_gate(spark):
+    """The BASELINE.json bar: pairwise F1 >= 0.99 on labeled pairs, at the
+    verify-surface fixture (500/party, 25% overlap, 5% typos) from the
+    north-star pages shape. Operating threshold 0.6: the Dice semantics
+    are the reference's at ANY t (oracle-checked); t is the tunable the
+    operator sets for the precision/recall point, and 0.6 holds
+    pairs-completeness at 1.0 while cutting the near-collision false
+    positives that t=0.5 admits on syllable-vocabulary data."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.plans.pipeline import (
+        run_pipeline_from_pages,
+    )
+
+    pages = fixtures.spark_pages(spark, 500, overlap=0.25, typo_rate=0.05, seed=42)
+    res = run_pipeline_from_pages(
+        spark,
+        pages,
+        fixtures.spark_reference_sets(spark),
+        PPRLConfig(rs_size_override=20, matching_threshold=0.6),
+    )
+    m = res.metrics
+    assert m.pairs_completeness >= 0.99
+    assert m.f1 >= 0.99
