@@ -488,6 +488,18 @@ def _q_mm_inventory(spark, sf_dir):
     return multimodal.extract_features(media).select("media_id", "kind", "n_bytes")
 
 
+def _q_mm_resize(spark, sf_dir):
+    """Image-resize plumbing, oracle-checked on its structure: one row per
+    image with the target dimensions and the raw-RGB payload size computed
+    FROM the resized array inside the kernel (3*target^2 bytes)."""
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d)
+    resized = multimodal.resize_images(media, target=16)
+    return resized.select(
+        "media_id", "width", "height", F.length("payload").cast("int").alias("n_bytes")
+    )
+
+
 def _q_mm_frames(spark, sf_dir):
     """Frame-sampling plumbing, oracle-checked on its structure: one row
     per kept frame per video with the right stride. frame_mean (fake
@@ -542,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "mm_features": _q_mm_features,
         "mm_inventory": _q_mm_inventory,
+        "mm_resize": _q_mm_resize,
         "mm_frames": _q_mm_frames,
     }
 
@@ -562,6 +575,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(strlen(text) AS INTEGER) AS n_bytes
             FROM documents
+        """,
+        "mm_resize": """
+            SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(16 * 16 * 3 AS INTEGER) AS n_bytes
+            FROM documents WHERE doc_id % 3 = 0
         """,
         "mm_frames": """
             SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx
