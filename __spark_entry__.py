@@ -75,6 +75,63 @@ def _q_pprl_records(spark, sf_dir):
     return _pprl_records(spark, sf_dir)
 
 
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic north-star pages table (url, warc_ts, html, text,
+    lang) derived from the shared documents parquet — pure Catalyst, so
+    the page-extraction path is DuckDB-oracle-checkable end to end."""
+    d = _read(spark, sf_dir, "documents")
+    party = F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    return d.select(
+        F.concat(
+            F.lit("http://"), party, F.lit(".example.org/page/D"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        # deterministic synthetic crawl timestamp (documents carry none)
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("doc_id") % 86400).cast("double"))
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head></head><body>"), F.col("text"), F.lit("</body></html>")
+            ),
+            "UTF-8",
+        ).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _q_pages_extract(spark, sf_dir):
+    """North-star input shape in the driver contract: pages -> party
+    records via the html extractor + tokenizer (sources/extract.py)."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import (
+        extract,
+    )
+
+    pages = _pages_from_documents(spark, sf_dir)
+    recs = extract.records_from_pages(pages, CFG)
+    return recs.select("id", "party", "surname", "name", "city")
+
+
+def _q_pages_text_invariant(spark, sf_dir):
+    """The input_hint's per-row invariant: extract_text(html) must equal
+    the stored text column BYTE-IDENTICALLY for every url. Output: one
+    row per url with a match flag — the oracle recomputes the extraction
+    in SQL, so a single divergent byte hash-mismatches."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import (
+        extract,
+    )
+
+    pages = _pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url",
+        (extract.extract_text(F.col("html")) == F.col("text"))
+        .cast("int")
+        .alias("text_byte_identical"),
+    )
+
+
 def _q_pprl_classified(spark, sf_dir):
     records = _pprl_records(spark, sf_dir)
     rs = testdata.reference_sets_from_records(records, CFG)
@@ -430,6 +487,14 @@ def _q_emb_near_pairs(spark, sf_dir):
     return similarity.cosine_near_pairs(e, bucket_col="label", threshold=0.35)
 
 
+def _q_emb_lsh_near_pairs(spark, sf_dir):
+    """Near-dup pairs with the LSH bucketer AS the blocking key (the
+    production form — no precomputed label); oracle uses identical
+    seeded hyperplane literals."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_pairs(e, dim=64, num_planes=6, threshold=0.3)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF index probe with nprobe = n_lists (exhaustive) — approximate
     path, exact result, so the brute-force SQL oracle applies verbatim."""
@@ -513,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # PPRL pipeline (documents-derived parties)
         "pprl_records": _q_pprl_records,
+        "pages_extract": _q_pages_extract,
+        "pages_text_invariant": _q_pages_text_invariant,
         "pprl_classified": _q_pprl_classified,
         "pprl_block_elements": _q_pprl_block_elements,
         "pprl_edge_weights": _q_pprl_edge_weights,
@@ -550,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "emb_near_pairs": _q_emb_near_pairs,
+        "emb_lsh_near_pairs": _q_emb_lsh_near_pairs,
         # streaming (unified batch/stream code path) + multimodal
         "events_windowed": _q_events_windowed,
         "mm_features": _q_mm_features,
@@ -565,6 +633,41 @@ _STOPWORD_SQL_LIST = ",".join(f"'{w}'" for w in tx.EN_STOPWORDS)
 def oracle_sql() -> dict[str, str]:
     return {
         "pprl_records": testdata.RECORDS_ORACLE_SQL,
+        "pages_extract": """
+            WITH pages AS (
+              SELECT doc_id,
+                     '<html><head></head><body>' || text || '</body></html>' AS html
+              FROM documents
+            ), ext AS (
+              SELECT 'D' || CAST(doc_id AS VARCHAR) AS id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END AS party,
+                     regexp_extract(html, '(?s)<body>(.*?)</body>', 1) AS xt
+              FROM pages
+            ), toks AS (
+              SELECT id, party, regexp_split_to_array(trim(xt), '\\s+') AS t FROM ext
+            )
+            SELECT id, party,
+                   upper(trim(t[1])) AS surname,
+                   upper(trim(t[2])) AS name,
+                   upper(trim(t[3])) AS city
+            FROM toks
+            WHERE t[1] IS NOT NULL AND len(t[1]) > 0
+              AND t[2] IS NOT NULL AND len(t[2]) > 0
+              AND t[3] IS NOT NULL AND len(t[3]) > 0
+        """,
+        "pages_text_invariant": """
+            WITH pages AS (
+              SELECT doc_id, text,
+                     'http://' || CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+                       || '.example.org/page/D' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><head></head><body>' || text || '</body></html>' AS html
+              FROM documents
+            )
+            SELECT url,
+                   CAST(CASE WHEN regexp_extract(html, '(?s)<body>(.*?)</body>', 1) = text
+                        THEN 1 ELSE 0 END AS INTEGER) AS text_byte_identical
+            FROM pages
+        """,
         # full-pipeline DuckDB twins (recursive-CTE binary search, Dice,
         # connected components, HLSH) — plans/oracles.py
         **oracles.pprl_oracles(CFG, rs_size=CFG.rs_size_override),
@@ -588,6 +691,9 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE doc_id % 3 = 2)
         """,
         "ann_lsh_topk": oracles.ann_lsh_oracle(dim=64, num_planes=8, k=5, seed=42),
+        "emb_lsh_near_pairs": oracles.lsh_near_pairs_oracle(
+            dim=64, num_planes=6, threshold=0.3, seed=42
+        ),
         "rel_project_filter": """
             SELECT c_custkey, upper(c_name) AS name_u, c_acctbal, c_mktsegment
             FROM customer WHERE c_acctbal > 100

@@ -249,6 +249,64 @@ def ivf_topk(
     )
 
 
+def hyperplane_planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    """The seeded random-hyperplane matrix — ONE definition shared by the
+    Spark bucketers and the DuckDB oracle builder (plans/oracles.py)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def hyperplane_bucket_expr(vec, planes: np.ndarray):
+    """bigint sign-bucket of a vector under literal hyperplanes (pure
+    Catalyst — the plane matrix lives in the plan)."""
+    sig = F.lit(0).cast("bigint")
+    for p_idx in range(len(planes)):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in planes[p_idx]]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_near_pairs(
+    vectors: DataFrame,
+    dim: int,
+    num_planes: int = 6,
+    threshold: float = 0.3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs with the LSH bucketer AS the blocking key —
+    the production form of ``cosine_near_pairs`` (which trusts a given
+    bucket column): hyperplane sign-buckets bound the pair space, exact
+    cosine verifies within each bucket. Fewer planes = bigger buckets =
+    higher recall; the single-probe recall loss is the documented
+    trade-off (and is what the DuckDB oracle reproduces)."""
+    planes = hyperplane_planes(dim, num_planes, seed)
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.round(cosine_expr(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -261,33 +319,17 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucket join then exact
     cosine within the bucket. The plane matrix is a broadcast literal."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
-
-    def bucket(vec):
-        sig = F.lit(0).cast("bigint")
-        for p_idx in range(num_planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(x)) for x in planes[p_idx]]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(dot > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-        return sig
+    planes = hyperplane_planes(dim, num_planes, seed)
 
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

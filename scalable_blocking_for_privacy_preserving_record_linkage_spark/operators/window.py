@@ -200,14 +200,21 @@ def _weighted_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
     # dedups, MetaBlocking.java:35): CBS = number of DISTINCT co-occurring
     # blocks, ARCS = sum of 1/|block| over those distinct blocks. Cyclic
     # pairing can emit the same blockID twice for one record (duplicate
-    # adjacent classIDs), so emissions are first collapsed per
-    # (pair, blockID) — otherwise one block would count as CBS=2 and
-    # double-add its ARCS term. Two-level aggregate: the first groupBy
-    # partial-aggregates map-side, so the extra pass is cheap.
-    per_block = pairs.groupBy("record1", "record2", "blockID").agg(
-        F.min("block_n").alias("_bn")
+    # adjacent classIDs), so emissions must collapse per (pair, blockID) —
+    # otherwise one block counts as CBS=2 and double-adds its ARCS term.
+    # collect_set does that dedup INSIDE one aggregate: a single shuffle
+    # of the pair stream (the fattest stream in the pipeline — a second
+    # exchange here measurably costs scaling efficiency), with map-side
+    # partial sets; the set is bounded by the blocks-per-record constant
+    # (attrs x samples), never by data volume.
+    per_pair = pairs.groupBy("record1", "record2").agg(
+        F.collect_set(F.struct("blockID", "block_n")).alias("_blocks")
     )
-    return per_block.groupBy("record1", "record2").agg(
-        F.count(F.lit(1)).alias("cbs_weight"),
-        F.sum(F.lit(1.0) / F.col("_bn")).alias("arcs_weight"),
+    return per_pair.select(
+        "record1",
+        "record2",
+        F.size("_blocks").cast("long").alias("cbs_weight"),
+        F.aggregate(
+            "_blocks", F.lit(0.0), lambda acc, b: acc + F.lit(1.0) / b["block_n"]
+        ).alias("arcs_weight"),
     )

@@ -427,22 +427,27 @@ WHERE bit_count(xor(l.sh, r.sh)) <= {max_hamming}
 """
 
 
+def _bucket_terms_sql(planes) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in planes[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(len(planes))
+    )
+
+
 def ann_lsh_oracle(
     dim: int, num_planes: int = 8, k: int = 5, seed: int = 42
 ) -> str:
     """Oracle for single-probe hyperplane LSH top-k: the SAME seeded
-    hyperplanes (operators/similarity.py:lsh_bucket_topk draws them from
-    numpy default_rng(seed)) inlined as literal arrays, sign-bucket join,
-    exact cosine re-rank. Checks the algorithm including its recall
-    behavior — not an idealized ANN answer."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
-        f"[{', '.join(repr(float(x)) for x in planes[p])}]) > 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(num_planes)
-    )
+    hyperplanes (operators/similarity.py:hyperplane_planes) inlined as
+    literal arrays, sign-bucket join, exact cosine re-rank. Checks the
+    algorithm including its recall behavior — not an idealized ANN
+    answer."""
+    from ..operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, num_planes, seed)
+    bucket_terms = _bucket_terms_sql(planes)
     return f"""
 WITH bv AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -462,6 +467,28 @@ r AS (
   FROM s
 )
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+def lsh_near_pairs_oracle(
+    dim: int, num_planes: int = 6, threshold: float = 0.3, seed: int = 42
+) -> str:
+    """Oracle for LSH-bucketed near-pairs: identical seeded hyperplanes,
+    sign-bucket self-join, exact cosine + threshold."""
+    from ..operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, num_planes, seed)
+    bucket_terms = _bucket_terms_sql(planes)
+    return f"""
+WITH bv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST({bucket_terms} AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT l.vec_id AS id1, r.vec_id AS id2,
+       round(list_cosine_similarity(l.v, r.v), 6) AS cosine
+FROM bv l JOIN bv r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.v, r.v), 6) >= {threshold}
 """
 
 
