@@ -120,6 +120,14 @@ def candidate_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
     record1 is always the Alice id, record2 the Bob id
     (MetaBlocking.java:64-68).
     """
+    if cfg.min_cbs_weight <= 1 and cfg.min_arcs_weight is None:
+        # default thresholds select every pair, so no weights are needed:
+        # dedup the SLIM (record1, record2) stream directly — one exchange
+        # of two string columns, nothing else rides the pipeline's fattest
+        # shuffle (this is the configuration the scaling bench measures)
+        return _raw_pairs(elements, cfg).select("record1", "record2").dropDuplicates(
+            ["record1", "record2"]
+        )
     agg = _weighted_pairs(elements, cfg)
     if cfg.min_cbs_weight > 1:
         agg = agg.where(F.col("cbs_weight") >= cfg.min_cbs_weight)
@@ -128,13 +136,17 @@ def candidate_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
     return agg.select("record1", "record2")
 
 
-def _weighted_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
+def _raw_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """Window pair emissions with block context: (record1, record2,
+    blockID, block_n) — one row per in-window (looker, target) encounter,
+    possibly repeated across (and, for duplicate elements, within)
+    blocks."""
     from pyspark.sql import Window as W
 
     k = cfg.window_size - 1
     if k <= 0:
         return elements.sparkSession.createDataFrame(
-            [], _PAIR_SCHEMA + ", cbs_weight bigint, arcs_weight double"
+            [], _PAIR_SCHEMA + ", blockID string, block_n bigint"
         )
 
     order = [F.col("score"), F.col("party"), F.col("recordID")]
@@ -190,31 +202,29 @@ def _weighted_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
     joined = look.join(tgt, ["blockID", "t_party", "bucket"]).where(
         F.col("t_idx").between(F.col("lo"), F.col("hi"))
     )
-    pairs = joined.select(
+    return joined.select(
         F.when(F.col("party") == "A", F.col("recordID")).otherwise(F.col("t_id")).alias("record1"),
         F.when(F.col("party") == "A", F.col("t_id")).otherwise(F.col("recordID")).alias("record2"),
         F.col("blockID"),
         F.col("block_n"),
     )
-    # meta-blocking weighted edge pruning (north-star; the reference only
-    # dedups, MetaBlocking.java:35): CBS = number of DISTINCT co-occurring
-    # blocks, ARCS = sum of 1/|block| over those distinct blocks. Cyclic
-    # pairing can emit the same blockID twice for one record (duplicate
-    # adjacent classIDs), so emissions must collapse per (pair, blockID) —
-    # otherwise one block counts as CBS=2 and double-adds its ARCS term.
-    # collect_set does that dedup INSIDE one aggregate: a single shuffle
-    # of the pair stream (the fattest stream in the pipeline — a second
-    # exchange here measurably costs scaling efficiency), with map-side
-    # partial sets; the set is bounded by the blocks-per-record constant
-    # (attrs x samples), never by data volume.
-    per_pair = pairs.groupBy("record1", "record2").agg(
-        F.collect_set(F.struct("blockID", "block_n")).alias("_blocks")
+
+
+def _weighted_pairs(elements: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """Meta-blocking edge weights (north-star; the reference only dedups,
+    MetaBlocking.java:35): CBS = number of DISTINCT co-occurring blocks,
+    ARCS = sum of 1/|block| over those distinct blocks. Cyclic pairing can
+    emit the same blockID twice for one record (duplicate adjacent
+    classIDs), so emissions first collapse per (pair, blockID) — otherwise
+    one block counts as CBS=2 and double-adds its ARCS term. Two-level
+    aggregate (partial map-side both levels); only the weighted-pruning /
+    inspection paths pay it — the default candidate path takes the slim
+    dropDuplicates route in ``candidate_pairs``."""
+    pairs = _raw_pairs(elements, cfg)
+    per_block = pairs.groupBy("record1", "record2", "blockID").agg(
+        F.min("block_n").alias("_bn")
     )
-    return per_pair.select(
-        "record1",
-        "record2",
-        F.size("_blocks").cast("long").alias("cbs_weight"),
-        F.aggregate(
-            "_blocks", F.lit(0.0), lambda acc, b: acc + F.lit(1.0) / b["block_n"]
-        ).alias("arcs_weight"),
+    return per_block.groupBy("record1", "record2").agg(
+        F.count(F.lit(1)).alias("cbs_weight"),
+        F.sum(F.lit(1.0) / F.col("_bn")).alias("arcs_weight"),
     )

@@ -23,21 +23,24 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def wait_for_quiet(max_load: float = 1.5, timeout_s: int = 900) -> None:
+def wait_for_quiet(max_load: float = 1.2, timeout_s: int = 1800) -> float:
     """Block until the 1-min load average drops below ``max_load`` — the
     sandbox box carries unrelated tenant load, and a trial that co-runs
-    with it measures the neighbors, not this engine."""
+    with it measures the neighbors, not this engine. Returns the load at
+    release (recorded per-trial for transparency)."""
     import time
 
     t0 = time.time()
     while time.time() - t0 < timeout_s:
-        if os.getloadavg()[0] < max_load:
-            return
+        load = os.getloadavg()[0]
+        if load < max_load:
+            return load
         time.sleep(15)
+    return os.getloadavg()[0]
 
 
 def run_one(cpus: int, inflate: int, submit: bool) -> dict:
-    wait_for_quiet()
+    load = wait_for_quiet()
     if submit:
         cmd = [os.path.join(ROOT, "scripts", "submit.sh"),
                os.path.join(ROOT, "scripts", "scaling_bench.py"),
@@ -48,7 +51,10 @@ def run_one(cpus: int, inflate: int, submit: bool) -> dict:
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
-            return json.loads(line)
+            r = json.loads(line)
+            r["load_at_start"] = round(load, 2)
+            print(json.dumps({"trial": r}), flush=True)
+            return r
     raise RuntimeError(f"no JSON from {cmd}: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
@@ -57,20 +63,27 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2, help="small parallelism level (big = 4*n)")
     ap.add_argument("--inflate", type=int, default=64)
     ap.add_argument("--submit", action="store_true", help="launch via spark-submit --py-files")
-    ap.add_argument("--trials", type=int, default=2,
+    ap.add_argument("--trials", type=int, default=3,
                     help="runs per level; min wall is kept (the box carries "
                          "unrelated background load)")
     args = ap.parse_args()
 
     n, n4 = args.n, 4 * args.n
 
-    def best(cpus: int) -> dict:
-        runs = [run_one(cpus, args.inflate, args.submit) for _ in range(args.trials)]
-        return min(runs, key=lambda r: r["wall_sec"])
-
-    r_small = best(n)
-    r_big = best(n4)
+    # INTERLEAVED trials (small, big, small, big, ...) so both levels
+    # sample the same background-load regimes; min wall per level is the
+    # noise-robust statistic on a shared box
+    small_runs, big_runs = [], []
+    for _ in range(args.trials):
+        small_runs.append(run_one(n, args.inflate, args.submit))
+        big_runs.append(run_one(n4, args.inflate, args.submit))
+    r_small = min(small_runs, key=lambda r: r["wall_sec"])
+    r_big = min(big_runs, key=lambda r: r["wall_sec"])
     eff = (r_small["wall_sec"] / r_big["wall_sec"]) / 4.0
+    trials_md = "\n".join(
+        f"| local[{c}] | {r['wall_sec']} | {r['load_at_start']} |"
+        for c, runs in ((n, small_runs), (n4, big_runs)) for r in runs
+    )
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     launcher = "spark-submit --py-files (scripts/submit.sh)" if args.submit else "python"
@@ -105,6 +118,14 @@ BASELINE.json `north_rule`). Speedup {r_small['wall_sec']/r_big['wall_sec']:.2f}
 
 Identical outputs at both levels: {r_small['pairs_scored']:,} pairs,
 {r_small['matches']:,} matches (determinism check).
+
+All trials (interleaved small/big; load-gated at 1.2 with 30-min timeout;
+1-min load average at trial start recorded — the box carries unrelated
+tenant load, which is why min-wall over interleaved trials is used):
+
+| level | wall sec | load at start |
+| --- | --- | --- |
+{trials_md}
 
 ## Why it scales
 
