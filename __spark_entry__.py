@@ -196,6 +196,35 @@ def _q_pprl_clusters(spark, sf_dir):
     )
 
 
+def _q_pprl_metrics(spark, sf_dir):
+    """Evaluation stage (D7) under the oracle: precision / pairs-
+    completeness / F1 computed distributed from the match pairs against
+    the id-equality ground truth (Simulator.java:62), as one row."""
+    res = _pprl_pipeline(spark, sf_dir)
+    records = res.records
+    a_ids = records.where("party='A'").select("id")
+    b_ids = records.where("party='B'").select("id")
+    expected = a_ids.intersect(b_ids).select(
+        F.count(F.lit(1)).cast("long").alias("expected")
+    )
+    stats = res.matches.select(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.count(F.when(F.col("record1") == F.col("record2"), 1))
+        .cast("long")
+        .alias("tp"),
+    )
+    return stats.crossJoin(expected).select(
+        "n_matches",
+        "tp",
+        "expected",
+        F.round(F.col("tp") / F.col("n_matches"), 6).alias("precision"),
+        F.round(F.col("tp") / F.col("expected"), 6).alias("pairs_completeness"),
+        F.round(
+            2.0 * F.col("tp") / (F.col("n_matches") + F.col("expected")), 6
+        ).alias("f1"),
+    )
+
+
 def _q_pprl_bloom_cardinality(spark, sf_dir):
     records = _pprl_records(spark, sf_dir)
     blooms = matching.encode_blooms(records, CFG)
@@ -586,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_candidates": _q_pprl_candidates,
         "pprl_matches": _q_pprl_matches,
         "pprl_clusters": _q_pprl_clusters,
+        "pprl_metrics": _q_pprl_metrics,
         "pprl_bloom_cardinality": _q_pprl_bloom_cardinality,
         "pprl_hlsh_matches": _q_pprl_hlsh_matches,
         # relational operator coverage

@@ -526,6 +526,20 @@ FROM edges GROUP BY cbs_weight
 SELECT component, CAST(count(*) AS BIGINT) AS size
 FROM comp GROUP BY component
 """,
+        "pprl_metrics": pre
+        + """
+SELECT s.n_matches, s.tp, e2.expected,
+       round(s.tp / s.n_matches, 6) AS precision,
+       round(s.tp / e2.expected, 6) AS pairs_completeness,
+       round(2.0 * s.tp / (s.n_matches + e2.expected), 6) AS f1
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(count(CASE WHEN record1 = record2 THEN 1 END) AS BIGINT) AS tp
+      FROM pmtch) s
+CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS expected
+            FROM (SELECT id FROM recs WHERE party = 'A'
+                  INTERSECT
+                  SELECT id FROM recs WHERE party = 'B')) e2
+""",
         "pprl_bloom_cardinality": pre
         + """
 SELECT u.recordID AS id, u.party,
