@@ -48,7 +48,7 @@ def run_one(cpus: int, inflate: int, submit: bool) -> dict:
     else:
         cmd = [sys.executable, os.path.join(ROOT, "scripts", "scaling_bench.py"),
                "--cpus", str(cpus), "--inflate", str(inflate)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=2700)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             r = json.loads(line)
@@ -104,7 +104,11 @@ documents-derived party records deterministically inflated x{args.inflate}
 ({r_small['pairs_scored']:,} candidate pairs scored). Setup excluded from
 the timed window: input materialization (an Iceberg table on a cluster)
 and the driver-side reference-sample build (bounded at 0.1% of DB by
-design, Conf.java:28). Timed: every distributed stage, forced end-to-end.
+design, Conf.java:28), plus one tiny warm-up pass of the identical stage
+chain (whole-stage-codegen compilation and Python UDF worker spin-up are
+per-process one-time costs — long-lived executors on a real cluster are
+code-warm, and the rule probes steady-state throughput scaling). Timed:
+every distributed stage, forced end-to-end.
 
 ## Results
 
