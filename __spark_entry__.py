@@ -301,11 +301,15 @@ def _q_rel_union_all(spark, sf_dir):
 
 def _q_rel_topk(spark, sf_dir):
     o = _read(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("rank", "o_orderkey", "o_totalprice")
+    # global top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps, no single-task global window); rank is assigned afterwards on
+    # the bounded k-row result, where a one-task window is free
+    top = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "o_orderkey", "o_totalprice"
     )
 
 
@@ -339,10 +343,11 @@ def _q_rel_q3_shipping(spark, sf_dir):
             "revenue"
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    # top-k via TakeOrderedAndProject; rank over the bounded 10-row result
+    top = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
+        top.withColumn("rk", F.row_number().over(w))
         .select("l_orderkey", F.col("o_orderdate").cast("string").alias("orderdate"), "revenue", "rk")
     )
 

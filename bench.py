@@ -106,9 +106,19 @@ def main() -> None:
         spark, records, rs, testdata.TESTDATA_CFG,
         with_clusters=True, with_metrics=False,
     )
-    pairs_scored = res.candidates.count()
-    n_matches = res.matches.count()
-    n_clusters = res.components.select("component").distinct().count()
+    # one action for all three scalars: three single-row aggregates
+    # cross-joined, so the driver submits one job instead of three
+    from pyspark.sql import functions as F
+    stats = (
+        res.candidates.agg(F.count(F.lit(1)).alias("pairs"))
+        .crossJoin(res.matches.agg(F.count(F.lit(1)).alias("matches")))
+        .crossJoin(res.components.agg(
+            F.count_distinct("component").alias("clusters")))
+        .collect()[0]
+    )
+    pairs_scored, n_matches, n_clusters = (
+        stats["pairs"], stats["matches"], stats["clusters"],
+    )
     timings["pprl_e2e"] = time.time() - t0
 
     # --- analytics / dedup / similarity headliners ---

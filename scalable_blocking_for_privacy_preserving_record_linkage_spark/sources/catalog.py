@@ -70,3 +70,28 @@ def read_table(spark: SparkSession, name: str, warehouse: str) -> DataFrame:
     if iceberg_available(spark):  # pragma: no cover
         return spark.read.table(name)
     return spark.read.parquet(os.path.join(warehouse, *name.split(".")))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed on ``bucket_cols`` via the session
+    catalog (the parquet stand-in for Iceberg's ``bucket(N, col)``
+    partition transform).
+
+    Bucketing is the shuffle-elimination story for the J2/J3 bloom
+    attach-joins (SURVEY.md §2.3): with candidates and blooms both
+    bucketed N-ways on the join key, the equi-join reads co-located
+    buckets and the plan carries NO Exchange on either side — at 100 TB
+    that deletes the two fattest shuffles of the matching stage. Verified
+    by plan gate ``tests/test_plans.py::test_bucketed_join_has_no_exchange``.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)

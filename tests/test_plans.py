@@ -84,3 +84,51 @@ def test_small_dim_join_broadcasts(spark):
         "c_mktsegment"
     ).count()
     assert "BroadcastHashJoin" in plan_of(j)
+
+
+def test_global_topk_is_take_ordered_not_global_window(spark):
+    """rel_topk / rel_q3_shipping must compile the global top-k to
+    TakeOrderedAndProject (distributed per-partition heaps), never a
+    row_number window over an unpartitioned sort (single-task at scale).
+    The rank window that remains runs over the bounded k-row result."""
+    import __spark_entry__ as entrymod
+
+    for name in ("rel_topk", "rel_q3_shipping"):
+        df = entrymod.queries()[name](spark, SF)
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed the same way on the join key must equi-join
+    with zero Exchange — the co-location contract the catalog module
+    promises for the bloom attach-joins at scale."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import catalog as cat
+
+    left = spark.range(0, 1000).selectExpr(
+        "concat('R', id) AS recordID", "id % 7 AS payload"
+    )
+    right = spark.range(0, 1000).selectExpr(
+        "concat('R', id) AS recordID", "id % 3 AS word"
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_cand")
+    spark.sql("DROP TABLE IF EXISTS bkt_blooms")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # tiny fixture would broadcast (a BroadcastExchange); the production
+    # shape is two big sides, where the bucketed sort-merge join applies
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cat.write_bucketed_table(left, "bkt_cand", ["recordID"], 8)
+        cat.write_bucketed_table(right, "bkt_blooms", ["recordID"], 8)
+        j = (
+            spark.table("bkt_cand")
+            .join(spark.table("bkt_blooms"), "recordID")
+            .where(F.col("word") >= 0)  # keep the join non-trivial
+        )
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_cand")
+        spark.sql("DROP TABLE IF EXISTS bkt_blooms")
