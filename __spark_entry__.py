@@ -179,6 +179,26 @@ def _q_pprl_edge_weights(spark, sf_dir):
     )
 
 
+def _q_pprl_pruned_candidates(spark, sf_dir):
+    """Meta-blocking WEIGHTED pruning path (MetaBlocking.java:93-119
+    semantics, extended with the CBS threshold): keep only candidate
+    pairs co-occurring in >= 2 distinct blocks. Exercises the weighted
+    branch of window.candidate_pairs under the value oracle (the default
+    driver pipeline takes the slim unweighted branch)."""
+    import dataclasses
+
+    records = _pprl_records(spark, sf_dir)
+    rs = testdata.reference_sets_from_records(records, CFG)
+    db = max(
+        records.where("party='A'").count(), records.where("party='B'").count()
+    )
+    samples = classify.build_reference_samples(rs, CFG, db)
+    classified = classify.classify(spark, records, samples, CFG)
+    elements = blocking.purge_blocks(blocking.block_ids(classified, CFG), CFG)
+    cfg2 = dataclasses.replace(CFG, min_cbs_weight=2)
+    return window.candidate_pairs(elements, cfg2)
+
+
 def _q_pprl_candidates(spark, sf_dir):
     res = _pprl_pipeline(spark, sf_dir)
     return res.candidates
@@ -618,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_block_elements": _q_pprl_block_elements,
         "pprl_edge_weights": _q_pprl_edge_weights,
         "pprl_candidates": _q_pprl_candidates,
+        "pprl_pruned_candidates": _q_pprl_pruned_candidates,
         "pprl_matches": _q_pprl_matches,
         "pprl_clusters": _q_pprl_clusters,
         "pprl_metrics": _q_pprl_metrics,

@@ -519,6 +519,8 @@ SELECT cbs_weight,
 FROM edges GROUP BY cbs_weight
 """,
         "pprl_candidates": pre + "\nSELECT record1, record2 FROM cands\n",
+        "pprl_pruned_candidates": pre
+        + "\nSELECT record1, record2 FROM edges WHERE cbs_weight >= 2\n",
         "pprl_matches": pre
         + "\nSELECT record1, record2, matched_fields FROM pmtch\n",
         "pprl_clusters": pre
