@@ -42,17 +42,9 @@ def encode_blooms(records: DataFrame, cfg: PPRLConfig) -> DataFrame:
     return out
 
 
-def match_candidates(
-    pairs: DataFrame,
-    blooms: DataFrame,
-    cfg: PPRLConfig,
-    keep_similarities: bool = False,
-) -> DataFrame:
-    """(record1, record2) × blooms -> matched pairs.
-
-    record1 joins the Alice-side filters, record2 the Bob-side
-    (MetaBlocking.java:37-41).
-    """
+def _attach_blooms(pairs: DataFrame, blooms: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """(record1, record2) × blooms -> the two attach-joins: record1 takes
+    the Alice-side filters, record2 the Bob-side (MetaBlocking.java:37-41)."""
     n = cfg.num_attrs
     blooms_a = blooms.where(F.col("party") == "A").select(
         F.col("recordID").alias("record1"),
@@ -66,12 +58,40 @@ def match_candidates(
     )
     if cfg.broadcast_blooms:
         blooms_a, blooms_b = F.broadcast(blooms_a), F.broadcast(blooms_b)
-    joined = pairs.join(blooms_a, "record1", "inner").join(blooms_b, "record2", "inner")
-    return score_joined(joined, cfg, keep_similarities)
+    return pairs.join(blooms_a, "record1", "inner").join(blooms_b, "record2", "inner")
+
+
+def match_candidates(
+    pairs: DataFrame,
+    blooms: DataFrame,
+    cfg: PPRLConfig,
+    keep_similarities: bool = False,
+) -> DataFrame:
+    """(record1, record2) × blooms -> matched pairs."""
+    return score_joined(_attach_blooms(pairs, blooms, cfg), cfg, keep_similarities)
+
+
+def match_stats(pairs: DataFrame, blooms: DataFrame, cfg: PPRLConfig) -> DataFrame:
+    """One-row (n_candidates, n_matches) aggregate in a SINGLE pass over
+    the scored join — the throughput-measurement shape: candidate count
+    and match count come out of one action with no intermediate
+    checkpoint and no second traversal of the pair stream. Used by the
+    scaling bench; agrees with ``pairs.count()`` /
+    ``match_candidates(...).count()`` by construction (unit-tested)."""
+    scored = score_joined(_attach_blooms(pairs, blooms, cfg), cfg, unfiltered=True)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(
+            F.when(F.col("matched_fields") >= cfg.matches_to_accept, 1)
+        ).alias("n_matches"),
+    )
 
 
 def score_joined(
-    joined: DataFrame, cfg: PPRLConfig, keep_similarities: bool = False
+    joined: DataFrame,
+    cfg: PPRLConfig,
+    keep_similarities: bool = False,
+    unfiltered: bool = False,
 ) -> DataFrame:
     """Dice-score a frame that already carries (record1, record2,
     bloomA_i/cardA_i, bloomB_i/cardB_i) — shared by the batch join path
@@ -97,4 +117,6 @@ def score_joined(
 
     matched_fields = sum(passes[1:], passes[0]).alias("matched_fields")
     result = joined.select("record1", "record2", matched_fields, *sims)
+    if unfiltered:
+        return result
     return result.where(F.col("matched_fields") >= cfg.matches_to_accept)

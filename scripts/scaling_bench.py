@@ -116,23 +116,25 @@ def main() -> None:
     wc = classify.classify(spark, warm, samples, cfg)
     we = blocking.purge_blocks(blocking.block_ids(wc, cfg), cfg)
     wcand = window.candidate_pairs(we, cfg)
-    matching.match_candidates(wcand, matching.encode_blooms(warm, cfg), cfg).count()
+    matching.match_stats(wcand, matching.encode_blooms(warm, cfg), cfg).collect()
     warm.unpersist()
 
     # timed: the distributed pipeline compute (classify -> block -> window
-    # -> Dice), forced stage by stage exactly as run_pipeline does
+    # -> Dice) forced end-to-end in ONE action — match_stats aggregates
+    # candidate count and match count in a single pass over the scored
+    # join, so no intermediate checkpoint and no second traversal rides
+    # the measurement (driver-side job-submission overhead is identical
+    # at both parallelism levels and should not dilute the ratio)
     phases = {}
     t0 = time.time()
     classified = classify.classify(spark, normalized, samples, cfg)
     elements = blocking.purge_blocks(blocking.block_ids(classified, cfg), cfg)
-    candidates = window.candidate_pairs(elements, cfg).localCheckpoint()
-    pairs = candidates.count()
-    phases["classify_block_window"] = round(time.time() - t0, 3)
-    t1 = time.time()
+    candidates = window.candidate_pairs(elements, cfg)
     blooms = matching.encode_blooms(normalized, cfg)
-    matches = matching.match_candidates(candidates, blooms, cfg).count()
-    phases["bloom_dice_match"] = round(time.time() - t1, 3)
+    row = matching.match_stats(candidates, blooms, cfg).collect()[0]
+    pairs, matches = row["n_candidates"], row["n_matches"]
     wall = time.time() - t0
+    phases["e2e_single_action"] = round(wall, 3)
 
     print(json.dumps({
         "cpus": args.cpus,

@@ -148,3 +148,16 @@ def test_north_star_f1_gate(spark):
     m = res.metrics
     assert m.pairs_completeness >= 0.99
     assert m.f1 >= 0.99
+
+
+def test_match_stats_agrees_with_two_pass_counts(golden):
+    """match_stats (the scaling bench's one-action aggregate) must equal
+    candidates.count() / match_candidates().count() exactly."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import matching
+
+    cfg = PPRLConfig(rs_size_override=20)
+    row = matching.match_stats(
+        golden.candidates, golden.blooms, cfg
+    ).collect()[0]
+    assert row["n_candidates"] == golden.candidates.count()
+    assert row["n_matches"] == golden.matches.count()
