@@ -474,6 +474,19 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_dedup_canonical(spark, sf_dir):
+    """End-to-end dedup: MinHash-LSH candidates -> exact-Jaccard verify
+    (>= 0.8) -> transitive clusters -> canonical survivor per doc
+    (singletons included). The oracle replays the identical LSH banding +
+    verify in SQL, then min-label connected components as a recursive
+    CTE."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup.canonical_docs(
+        d, num_hashes=32, num_bands=8, shingle_q=5, max_bucket_size=200,
+        verify_threshold=0.8,
+    )
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").where(
         (F.col("doc_id") < 60) & (F.length("text") >= 3)
@@ -665,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_canonical": _q_dedup_canonical,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -887,6 +901,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, count(*) AS n_docs,
                    min(doc_id) AS canonical_id
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_canonical": """
+            WITH RECURSIVE g AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS gram
+              FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 4)) AS i
+                    FROM documents WHERE len(text) >= 5)
+            ), b AS (
+              SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS base FROM g
+            ), hs AS (SELECT unnest(generate_series(0, 31)) AS h),
+            sig AS (
+              SELECT doc_id, h,
+                     min(((2*h + 1) * base + (h * 2654435761) % 4294967311) % 4294967311) AS mh
+              FROM b CROSS JOIN hs GROUP BY doc_id, h
+            ), band AS (
+              SELECT doc_id, h // 4 AS band,
+                     string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h) AS band_sig
+              FROM sig GROUP BY doc_id, h // 4
+            ), bandkeep AS (
+              SELECT band, band_sig FROM band
+              GROUP BY band, band_sig HAVING count(*) <= 200
+            ), bandk AS (
+              SELECT b.* FROM band b JOIN bandkeep k USING (band, band_sig)
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+              FROM bandk l JOIN bandk r
+                ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+              SELECT c.id1, c.id2, count(*) AS c
+              FROM cand c
+              JOIN g g1 ON g1.doc_id = c.id1
+              JOIN g g2 ON g2.doc_id = c.id2 AND g2.gram = g1.gram
+              GROUP BY c.id1, c.id2
+            ), pairs AS MATERIALIZED (
+              -- exact-Jaccard verify of the LSH candidates (threshold 0.8)
+              SELECT i.id1, i.id2 FROM inter i
+              JOIN sz s1 ON s1.doc_id = i.id1
+              JOIN sz s2 ON s2.doc_id = i.id2
+              WHERE i.c * 1.0 / (s1.n + s2.n - i.c) >= 0.8
+            ),
+            -- MATERIALIZED: the recursive join input must not re-run LSH per round
+            sym AS MATERIALIZED (
+              SELECT id1 AS u, id2 AS v FROM pairs
+              UNION SELECT id2 AS u, id1 AS v FROM pairs
+            ),
+            reach AS (
+              SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM sym)
+              UNION
+              SELECT s.v AS node, r.label FROM reach r JOIN sym s ON s.u = r.node
+            ),
+            comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+            assign AS (
+              SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ),
+            csize AS (
+              SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM assign GROUP BY cluster_id
+            )
+            SELECT a.doc_id, a.cluster_id, s.cluster_size,
+                   CAST(a.doc_id = a.cluster_id AS INT) AS is_canonical
+            FROM assign a JOIN csize s USING (cluster_id)
         """,
         "dedup_minhash_sig": """
             WITH g AS (

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "rel_cyclic_block_ids", # partitioned window lead/first_value
     "events_sessionize",    # gap sessionization (lag + cumulative sum)
     "dedup_minhash_lsh",    # minhash + band join
+    "dedup_canonical",      # LSH -> verify -> iterative CC -> survivors
     "dedup_simhash",        # simhash + hamming self-join
     "text_quality",         # pure-Catalyst text scoring
     "ann_cosine_topk",      # brute-force cosine top-k

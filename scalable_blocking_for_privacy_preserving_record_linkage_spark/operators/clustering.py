@@ -37,7 +37,29 @@ def connected_components(
         F.concat(F.lit("A:"), F.col("record1")).alias("u"),
         F.concat(F.lit("B:"), F.col("record2")).alias("v"),
     )
-    # symmetric adjacency
+    return _min_label_propagation(edges, max_iterations, check_every)
+
+
+def connected_components_edges(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iterations: int = 20,
+    check_every: int = 2,
+) -> DataFrame:
+    """Unipartite variant over (id1, id2) edges in ONE id space (near-dup
+    graphs: MinHash/SimHash pairs). Node ids keep their input type, so a
+    bigint doc_id graph gets NUMERIC min-labels (a string cast would make
+    "10" < "2" and silently change the canonical representative)."""
+    edges = pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+    return _min_label_propagation(edges, max_iterations, check_every)
+
+
+def _min_label_propagation(
+    edges: DataFrame, max_iterations: int, check_every: int
+) -> DataFrame:
+    """Shared iterative min-label loop over directed edges (u, v); the
+    symmetric closure is built here."""
     adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     adj = adj.dropDuplicates(["u", "v"]).localCheckpoint(eager=False)
 

@@ -262,3 +262,102 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_q: int = 5,
+    max_bucket_size: int | None = None,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """END-TO-END dedup: LSH candidate pairs -> EXACT-Jaccard verify ->
+    transitive clusters -> canonical survivor per cluster (the full "keep
+    one copy" pipeline a training-data build runs, not just a pair list).
+
+    Output: one row PER INPUT DOC — (doc_id, cluster_id, cluster_size,
+    is_canonical) with cluster_id = min doc_id of the near-dup component
+    (numeric min, see connected_components_edges) and singletons their own
+    cluster. ``docs.where(~is_canonical)`` is the drop set; filtering on
+    ``is_canonical = 1`` yields the deduplicated corpus.
+
+    ``verify_threshold``: LSH banding is a RECALL device — narrow bands
+    admit low-similarity candidates, and transitive closure would snowball
+    them into mega-clusters. The verify step recomputes the EXACT distinct
+    q-gram Jaccard for each surviving candidate pair (cost bounded by
+    |candidates| x grams-per-doc, never pairwise in the corpus) and keeps
+    only pairs >= threshold, so cluster edges are true near-dups. ``None``
+    skips the verify (raw LSH closure).
+
+    Scale shape: pair generation is the banded equi-join (never all-pairs,
+    hot buckets purged via ``max_bucket_size``); clustering is iterative
+    min-label propagation whose per-round shuffle carries only (node,
+    component) longs; cluster sizes come from a SLIM groupBy + join (NOT a
+    window — a boilerplate mega-cluster would funnel a window into one
+    task, the exact skew the bucket purge guards against upstream).
+    """
+    from .clustering import connected_components_edges
+
+    # pair generation needs at least one shingle; shorter docs still get a
+    # (singleton) cluster row from the left join below
+    pairs = minhash_lsh_pairs(
+        docs.where(F.length(text_col) >= shingle_q),
+        id_col, text_col, num_hashes, num_bands, shingle_q, max_bucket_size,
+    )
+    if verify_threshold is not None:
+        # Exact verify WITHOUT row explosion: attach each side's distinct
+        # gram SET as one array column (same join shape as the PPRL
+        # bloom-attach, operators/matching.py), then intersect JVM-side
+        # with array_intersect in a single whole-stage-codegen projection.
+        # The naive alternative — explode pairs x grams and re-aggregate —
+        # is |pairs| x grams-per-doc intermediate rows (~75M at sf0.1);
+        # this is |pairs| rows carrying two arrays.
+        gram_sets = docs.where(F.length(text_col) >= shingle_q).select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(qgrams_expr(F.col(text_col), shingle_q)).alias(
+                "grams"
+            ),
+        )
+        pairs = (
+            pairs.join(
+                gram_sets.select(
+                    F.col("id").alias("id1"), F.col("grams").alias("g1")
+                ),
+                "id1",
+            )
+            .join(
+                gram_sets.select(
+                    F.col("id").alias("id2"), F.col("grams").alias("g2")
+                ),
+                "id2",
+            )
+            .withColumn("c", F.size(F.array_intersect("g1", "g2")))
+            .where(
+                F.col("c")
+                / (F.size("g1") + F.size("g2") - F.col("c"))
+                >= F.lit(verify_threshold)
+            )
+            .select("id1", "id2")
+        )
+    comp = connected_components_edges(pairs, "id1", "id2")
+    assign = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return assign.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        # component label IS the cluster min, so canonical == label match
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

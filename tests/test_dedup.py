@@ -119,3 +119,45 @@ def test_minhash_lsh_pairs_unaffected_by_loose_cap(spark, near_dup_docs):
         for r in dedup.minhash_lsh_pairs(near_dup_docs, max_bucket_size=10_000).collect()
     }
     assert base == loose
+
+
+def test_canonical_docs_transitive_chain(spark):
+    """a~b and b~c near-dup (but a~c not a candidate pair on its own) must
+    land in ONE cluster with min doc_id canonical; unrelated docs and
+    too-short docs stay singletons."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    toks = base.split()
+    b = list(toks); b[2] = "xray"
+    c = list(b); c[8] = "yankee"
+    texts = [
+        base,                      # 0: cluster head
+        " ".join(b),               # 1: near-dup of 0
+        " ".join(c),               # 2: near-dup of 1 (transitively of 0)
+        "totally different words about warehouses and parquet row groups",  # 3
+        base,                      # 4: exact dup of 0
+        "abc",                     # 5: shorter than shingle_q -> singleton
+    ]
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup.canonical_docs(
+            _docs(spark, texts), verify_threshold=0.5
+        ).collect()
+    }
+    assert len(out) == 6  # one row per input doc, short one included
+    assert out[0] == (0, 4, 1)
+    assert out[1] == (0, 4, 0)
+    assert out[2] == (0, 4, 0)
+    assert out[4] == (0, 4, 0)
+    assert out[3] == (3, 1, 1)
+    assert out[5] == (5, 1, 1)
+
+
+def test_canonical_docs_verify_blocks_low_jaccard_edges(spark):
+    """Without the verify step LSH banding may link weakly-similar docs;
+    with a high threshold those edges must be dropped."""
+    texts = [
+        "one two three four five six seven eight nine ten eleven twelve",
+        "one two three four five xxxx yyyy zzzz wwww vvvv uuuu tttt",
+    ]
+    strict = dedup.canonical_docs(_docs(spark, texts), verify_threshold=0.9)
+    assert {r["cluster_id"] for r in strict.collect()} == {0, 1}
