@@ -620,6 +620,17 @@ def _q_mm_inventory(spark, sf_dir):
     return multimodal.extract_features(media).select("media_id", "kind", "n_bytes")
 
 
+def _q_mm_bytestats(spark, sf_dir):
+    """Byte-level payload content check through the Arrow mapInPandas
+    path: byte_sum / first / last / md5-int computed from the raw bytes
+    INSIDE the Python kernel, value-matched against DuckDB recomputing the
+    same stats from hex(payload). Proves the binary column arrives in the
+    Python worker byte-for-byte intact."""
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d)
+    return multimodal.payload_byte_stats(media)
+
+
 def _q_mm_resize(spark, sf_dir):
     """Image-resize plumbing, oracle-checked on its structure: one row per
     image with the target dimensions and the raw-RGB payload size computed
@@ -692,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "mm_features": _q_mm_features,
         "mm_inventory": _q_mm_inventory,
+        "mm_bytestats": _q_mm_bytestats,
         "mm_resize": _q_mm_resize,
         "mm_frames": _q_mm_frames,
     }
@@ -748,6 +760,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(strlen(text) AS INTEGER) AS n_bytes
             FROM documents
+        """,
+        "mm_bytestats": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     text, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS n
+              FROM documents
+            ), bs AS (
+              SELECT media_id,
+                     CAST(sum(('0x' || substr(h, 2*i - 1, 2))::INT) AS BIGINT)
+                       AS byte_sum
+              FROM (SELECT media_id, h, unnest(generate_series(1, n)) AS i
+                    FROM m)
+              GROUP BY media_id
+            )
+            SELECT m.media_id, m.kind, CAST(m.n AS INT) AS n_bytes,
+                   COALESCE(bs.byte_sum, 0) AS byte_sum,
+                   CASE WHEN m.n > 0
+                        THEN ('0x' || substr(m.h, 1, 2))::INT ELSE -1
+                   END AS first_byte,
+                   CASE WHEN m.n > 0
+                        THEN ('0x' || substr(m.h, 2*m.n - 1, 2))::INT ELSE -1
+                   END AS last_byte,
+                   ('0x' || substr(md5(m.text), 1, 8))::BIGINT AS md5i
+            FROM m LEFT JOIN bs USING (media_id)
         """,
         "mm_resize": """
             SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS width,

@@ -145,6 +145,51 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.mapInPandas(fn, schema=_FEATURE_SCHEMA)
 
 
+_BYTESTATS_SCHEMA = (
+    "media_id long, kind string, n_bytes int, byte_sum long, "
+    "first_byte int, last_byte int, md5i long"
+)
+
+
+def payload_byte_stats(media: DataFrame) -> DataFrame:
+    """Codec-INDEPENDENT byte statistics of the raw payloads, computed
+    inside the Arrow ``mapInPandas`` kernel (``np.frombuffer`` — no
+    per-byte Python loop).
+
+    Unlike the feature kernels these are exactly SQL-reproducible, so the
+    driver value-oracle covers the full binary Arrow path end to end: if
+    payload bytes were corrupted, reordered, or truncated anywhere between
+    the parquet scan and the Python worker, ``byte_sum``/``md5i`` would
+    mismatch — a content check, not just the length check ``mm_inventory``
+    provides. Empty payloads yield first/last byte ``-1`` and sum 0.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": np.zeros(n, dtype=np.int32),
+                "byte_sum": np.zeros(n, dtype=np.int64),
+                "first_byte": np.full(n, -1, dtype=np.int32),
+                "last_byte": np.full(n, -1, dtype=np.int32),
+                "md5i": np.zeros(n, dtype=np.int64),
+            }
+            for i, payload in enumerate(pdf["payload"]):
+                raw = bytes(payload)
+                b = np.frombuffer(raw, dtype=np.uint8)
+                out["n_bytes"][i] = b.size
+                out["byte_sum"][i] = int(b.sum(dtype=np.int64))
+                if b.size:
+                    out["first_byte"][i] = int(b[0])
+                    out["last_byte"][i] = int(b[-1])
+                out["md5i"][i] = int(hashlib.md5(raw).hexdigest()[:8], 16)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=_BYTESTATS_SCHEMA)
+
+
 _RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
 
 

@@ -61,3 +61,29 @@ def test_sample_frames(media):
     one = frames.where(f"media_id = {next(iter(meta))}").collect()
     if len(one) > 1:
         assert len({r["frame_mean"] for r in one}) > 1
+
+
+def test_payload_byte_stats_exact(spark):
+    """Kernel byte stats must equal a driver-side recomputation from the
+    raw text bytes, including the empty-payload sentinel row."""
+    import hashlib
+
+    texts = {0: "abc", 1: "", 2: "Zz9"}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.payload_byte_stats(
+            multimodal.synthesize_media(docs)
+        ).collect()
+    }
+    assert len(out) == 3
+    for i, t in texts.items():
+        raw = t.encode()
+        r = out[i]
+        assert r["n_bytes"] == len(raw)
+        assert r["byte_sum"] == sum(raw)
+        assert r["first_byte"] == (raw[0] if raw else -1)
+        assert r["last_byte"] == (raw[-1] if raw else -1)
+        assert r["md5i"] == int(hashlib.md5(raw).hexdigest()[:8], 16)
