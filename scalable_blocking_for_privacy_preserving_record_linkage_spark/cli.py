@@ -105,6 +105,11 @@ def build_config(args: argparse.Namespace) -> tuple[PPRLConfig, dict]:
         fields["purge_max_block_size"] = args.purge_max_block_size
     if args.seed is not None:
         fields["seed"] = args.seed
+    if args.sample_fraction is not None and args.sample_fraction < 1.0:
+        # load-time corpus sample: applied inside records_from_pages for
+        # --pages runs (CSV loads sample in _load_party_csv with the
+        # reference's literal seed 4, SQLData.java:21-27)
+        fields["sample_fraction"] = args.sample_fraction
     cfg = PPRLConfig(**fields)
     print(
         f"DB: {extras['db_size'] or 'from input'}"

@@ -43,6 +43,11 @@ class PPRLConfig:
 
     # --- determinism / scale knobs (ours) ---
     seed: int = 42
+    # corpus-level fractional sample applied AT LOAD (the reference keeps
+    # this dormant: `.sample(f, 4)` commented out, SQLData.java:21-27).
+    # Ours is live and seeded — a cheap way to dry-run the full pipeline
+    # on p% of a web-scale corpus before committing the full job.
+    sample_fraction: float | None = None
     rs_size_override: int | None = None          # explicit RS_SIZE, else fraction
     purge_max_block_size: int | None = 500       # drop blocks with more elements
     # hint the two pairs×blooms attach-joins to broadcast the bloom side.

@@ -36,6 +36,11 @@ def records_from_pages(pages: DataFrame, cfg: PPRLConfig) -> DataFrame:
     reproduces SQLData.java:59-61 (drop rows with any null/empty blocking
     attribute).
     """
+    if cfg.sample_fraction is not None:
+        # load-time fractional sample (SQLData.java:21-27, dormant there;
+        # live + seeded here). Sampling BEFORE projection/extraction keeps
+        # the skipped rows out of every downstream expression.
+        pages = pages.sample(fraction=cfg.sample_fraction, seed=cfg.seed)
     txt = extract_text(F.col("html"))
     toks = F.split(F.trim(txt), r"\s+")
     df = pages.select(

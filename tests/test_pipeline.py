@@ -80,6 +80,22 @@ def test_pages_end_to_end(spark):
     assert res.metrics.pairs_completeness == 1.0
 
 
+def test_sample_fraction_at_load(spark):
+    """cfg.sample_fraction applies a seeded load-time sample in
+    records_from_pages (SQLData.java:21-27 made live): deterministic for a
+    fixed seed, strict subset of the unsampled extraction."""
+    pages = fixtures.spark_pages(spark, 300, overlap=0.25, typo_rate=0.0, seed=9)
+    full = extract.records_from_pages(pages, PPRLConfig(seed=9))
+    samp_cfg = PPRLConfig(seed=9, sample_fraction=0.3)
+    ids = lambda df: {(r["id"], r["party"]) for r in df.select("id", "party").collect()}
+    s1, s2 = (
+        ids(extract.records_from_pages(pages, samp_cfg)) for _ in range(2)
+    )
+    assert s1 == s2                      # seeded -> reproducible
+    assert s1 < ids(full)                # strict subset
+    assert 0 < len(s1) < 300 * 2 * 0.6   # roughly the asked fraction
+
+
 def test_checkpoint_resume(spark, tmp_path):
     cfg = PPRLConfig(rs_size_override=10, seed=5)
     recs = fixtures.spark_records(spark, 150, overlap=0.5, seed=5)
