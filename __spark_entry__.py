@@ -487,6 +487,18 @@ def _q_dedup_canonical(spark, sf_dir):
     )
 
 
+def _q_dedup_stream_static(spark, sf_dir):
+    """Stream-static online dedup, exercised BATCH-side (unified API, same
+    pattern as events_windowed): docs with doc_id >= 400 play the crawl
+    stream, the rest the indexed corpus. Value-oracled in DuckDB by
+    replaying banding + exact-Jaccard verify across the two slices."""
+    d = _read(spark, sf_dir, "documents")
+    index = dedup.minhash_band_index(d.where(F.col("doc_id") < 400))
+    return streaming_jobs.dedup_stream_against(
+        d.where(F.col("doc_id") >= 400), index, verify_threshold=0.6
+    )
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").where(
         (F.col("doc_id") < 60) & (F.length("text") >= 3)
@@ -690,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_canonical": _q_dedup_canonical,
+        "dedup_stream_static": _q_dedup_stream_static,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1003,6 +1016,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, a.cluster_id, s.cluster_size,
                    CAST(a.doc_id = a.cluster_id AS INT) AS is_canonical
             FROM assign a JOIN csize s USING (cluster_id)
+        """,
+        "dedup_stream_static": """
+            WITH g AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS gram
+              FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 4)) AS i
+                    FROM documents WHERE len(text) >= 5)
+            ), b AS (
+              SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS base FROM g
+            ), hs AS (SELECT unnest(generate_series(0, 7)) AS h),
+            sig AS (
+              SELECT doc_id, h,
+                     min(((2*h + 1) * base + (h * 2654435761) % 4294967311) % 4294967311) AS mh
+              FROM b CROSS JOIN hs GROUP BY doc_id, h
+            ), band AS (
+              SELECT doc_id, h // 2 AS band,
+                     string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h) AS band_sig
+              FROM sig GROUP BY doc_id, h // 2
+            ), cand AS (
+              SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+              FROM band n JOIN band o
+                ON n.band = o.band AND n.band_sig = o.band_sig
+              WHERE n.doc_id >= 400 AND o.doc_id < 400
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+              SELECT c.doc_id, c.dup_of, count(*) AS c
+              FROM cand c
+              JOIN g g1 ON g1.doc_id = c.doc_id
+              JOIN g g2 ON g2.doc_id = c.dup_of AND g2.gram = g1.gram
+              GROUP BY c.doc_id, c.dup_of
+            )
+            SELECT i.doc_id, i.dup_of,
+                   round(i.c * 1.0 / (s1.n + s2.n - i.c), 6) AS jaccard
+            FROM inter i
+            JOIN sz s1 ON s1.doc_id = i.doc_id
+            JOIN sz s2 ON s2.doc_id = i.dup_of
+            WHERE i.c * 1.0 / (s1.n + s2.n - i.c) >= 0.6
         """,
         "dedup_minhash_sig": """
             WITH g AS (

@@ -264,6 +264,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_q: int = 5,
+) -> DataFrame:
+    """Corpus-side LSH index for stream-static dedup: one row per
+    (band, band_sig) per doc, carrying the doc's distinct-gram array so
+    the exact-Jaccard verify needs NO second lookup against the corpus.
+
+    At cluster scale this is the checkpointed/bucketed static side of
+    ``streaming.jobs.dedup_stream_against``: bucketed by (band, band_sig)
+    the per-micro-batch candidate join needs no shuffle of the corpus.
+    Output: (band, band_sig, id, grams).
+    """
+    rows = num_hashes // num_bands
+    docs = docs.where(F.length(text_col) >= shingle_q)
+    # grams projected FIRST so both the verify array and the signature's
+    # base hashes derive from the one materialized column (no double
+    # shingling)
+    sigs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(qgrams_expr(F.col(text_col), shingle_q)).alias(
+                "grams"
+            ),
+        )
+        .select(
+            "id",
+            "grams",
+            F.transform(F.col("grams"), hashing.md5_int_expr).alias("_bases"),
+        )
+        .select(
+            "id",
+            "grams",
+            hashing.minhash_from_bases_expr(
+                F.col("_bases"), num_hashes
+            ).alias("signature"),
+        )
+    )
+    return sigs.select(
+        "id",
+        "grams",
+        F.explode(
+            hashing.minhash_bands_expr(F.col("signature"), num_bands, rows)
+        ).alias("b"),
+    ).select(
+        F.col("b.band").alias("band"),
+        F.col("b.band_sig").alias("band_sig"),
+        "id",
+        "grams",
+    )
+
+
 def canonical_docs(
     docs: DataFrame,
     id_col: str = "doc_id",

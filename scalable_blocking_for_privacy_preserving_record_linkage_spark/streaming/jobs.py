@@ -148,6 +148,71 @@ def match_stream_against(
     return scored.dropDuplicates(["record1", "record2"])
 
 
+def dedup_stream_against(
+    incoming_docs: DataFrame,
+    corpus_index: DataFrame,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_q: int = 5,
+    verify_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_retention: str = "1 hour",
+) -> DataFrame:
+    """Online dedup of a crawl stream against a static corpus: each
+    incoming document is MinHash-banded in ONE stateless projection,
+    stream-static equi-joined on (band, band_sig) against the prebuilt
+    ``dedup.minhash_band_index`` of the corpus, then exact-verified with
+    distinct-q-gram Jaccard via ``array_intersect`` — the same
+    no-row-explosion verify the batch ``canonical_docs`` uses, so batch
+    and stream share one code path (asserted by batch-parity tests).
+
+    Output (append mode): (doc_id, dup_of, jaccard) — one row per
+    (incoming doc, corpus near-dup) pair at ``jaccard >= verify_threshold``.
+    A training-data ingest drops incoming docs that appear here. The only
+    state is the pair dedup, bounded by ``dedup_retention`` via
+    watermark + dropDuplicatesWithinWatermark (same eviction contract as
+    ``match_stream_against``).
+
+    Banding params MUST match the ones the index was built with; at
+    cluster scale the index is a bucketed table on (band, band_sig) so the
+    per-micro-batch join shuffles only the (small) new-arrivals side.
+    """
+    from ..operators import dedup as dedup_ops
+
+    stream_banded = dedup_ops.minhash_band_index(
+        incoming_docs, id_col, text_col, num_hashes, num_bands, shingle_q
+    ).select(
+        "band",
+        "band_sig",
+        F.col("id").alias("doc_id"),
+        F.col("grams").alias("g_new"),
+    )
+    static_side = corpus_index.select(
+        "band",
+        "band_sig",
+        F.col("id").alias("dup_of"),
+        F.col("grams").alias("g_old"),
+    )
+    joined = stream_banded.join(static_side, ["band", "band_sig"]).where(
+        F.col("doc_id") != F.col("dup_of")
+    )
+    c = F.size(F.array_intersect("g_new", "g_old"))
+    verified = joined.select(
+        "doc_id",
+        "dup_of",
+        F.round(c / (F.size("g_new") + F.size("g_old") - c), 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= verify_threshold)
+    if verified.isStreaming:
+        return (
+            verified.withColumn("_arrival_ts", F.current_timestamp())
+            .withWatermark("_arrival_ts", dedup_retention)
+            .dropDuplicatesWithinWatermark(["doc_id", "dup_of"])
+            .drop("_arrival_ts")
+        )
+    return verified.dropDuplicates(["doc_id", "dup_of"])
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

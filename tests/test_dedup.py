@@ -161,3 +161,40 @@ def test_canonical_docs_verify_blocks_low_jaccard_edges(spark):
     ]
     strict = dedup.canonical_docs(_docs(spark, texts), verify_threshold=0.9)
     assert {r["cluster_id"] for r in strict.collect()} == {0, 1}
+
+
+def test_minhash_lsh_recall_vs_brute_force(spark):
+    """Empirical recall of the driver's banding (32 hashes / 8 bands, r=4)
+    against brute-force distinct-5-gram Jaccard at the 0.8 verify
+    threshold: expected per-pair candidate probability 1-(1-s^4)^8 >= 0.98
+    at s=0.8, so over a 60-pair truth set recall must clear 0.9."""
+    import itertools
+
+    base = ("web scale corpora hold countless boilerplate pages that reuse "
+            "the same navigation header footer and legal text across hosts")
+    texts = []
+    for i in range(60):
+        toks = base.split()
+        # one token swapped -> very high Jaccard near-dup of the base
+        toks[i % len(toks)] = f"mut{i}"
+        texts.append(" ".join(toks))
+    docs = _docs(spark, texts)
+
+    def gram_set(t, q=5):
+        return {t[i:i + q] for i in range(len(t) - q + 1)}
+
+    gs = {i: gram_set(t) for i, t in enumerate(texts)}
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(range(len(texts)), 2)
+        if len(gs[a] & gs[b]) / len(gs[a] | gs[b]) >= 0.8
+    }
+    assert len(truth) >= 60  # fixture actually stresses the claim
+    got = {
+        (r["id1"], r["id2"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=32, num_bands=8, shingle_q=5
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} over {len(truth)} true pairs"

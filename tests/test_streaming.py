@@ -189,3 +189,50 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     # only CLOSED sessions are emitted: user 1's first session (3 events)
     # closed by the in-stream gap; open sessions are held in state
     assert (1, 3) in got
+
+
+def test_dedup_stream_against_matches_batch(spark, tmp_path):
+    """Stream-static near-dup detection: crawl stream vs corpus index,
+    availableNow + memory sink must equal the identical code path run
+    batch, and must flag exactly the planted near-dups."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import dedup
+
+    base = ("boilerplate navigation header footer legal text repeated on "
+            "every page of the same host with tiny local differences")
+    corpus_texts = [(i, base.replace("tiny", f"corp{i}")) for i in range(10)]
+    corpus_texts += [(100 + i, f"unique corpus document number {i} " * 4) for i in range(5)]
+    corpus = spark.createDataFrame(corpus_texts, "doc_id long, text string")
+    index = dedup.minhash_band_index(corpus, num_hashes=16, num_bands=4)
+
+    # stream: 2 near-dups of the boilerplate family, 1 genuinely new doc
+    new_texts = [
+        (200, base.replace("tiny", "stream0")),
+        (201, base.replace("tiny", "stream1")),
+        (202, "a genuinely novel page about arrow record batches " * 3),
+    ]
+    sdir = str(tmp_path / "docs_stream")
+    spark.createDataFrame(new_texts, "doc_id long, text string").repartition(
+        2
+    ).write.mode("overwrite").parquet(sdir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+
+    args = dict(num_hashes=16, num_bands=4, verify_threshold=0.7)
+    _run_stream(jobs.dedup_stream_against(stream, index, **args), "dd_stream")
+    got = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in spark.sql("select * from dd_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in jobs.dedup_stream_against(
+            spark.read.parquet(sdir), index, **args
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    flagged = {d for d, _, _ in got}
+    assert 202 not in flagged          # novel doc passes through
+    assert {200, 201} <= flagged       # planted near-dups are caught
