@@ -357,43 +357,84 @@ def canonical_docs(
     """
     from .clustering import connected_components_edges
 
-    # pair generation needs at least one shingle; shorter docs still get a
-    # (singleton) cluster row from the left join below
-    pairs = minhash_lsh_pairs(
-        docs.where(F.length(text_col) >= shingle_q),
-        id_col, text_col, num_hashes, num_bands, shingle_q, max_bucket_size,
-    )
-    if verify_threshold is not None:
-        # Exact verify WITHOUT row explosion: attach each side's distinct
-        # gram SET as one array column (same join shape as the PPRL
-        # bloom-attach, operators/matching.py), then intersect JVM-side
-        # with array_intersect in a single whole-stage-codegen projection.
-        # The naive alternative — explode pairs x grams and re-aggregate —
-        # is |pairs| x grams-per-doc intermediate rows (~75M at sf0.1);
-        # this is |pairs| rows carrying two arrays.
-        gram_sets = docs.where(F.length(text_col) >= shingle_q).select(
+    # Stage shape, sized for a corpus where the band self-join dominates:
+    #  1. gram sets materialized ONCE (localCheckpoint) — every later
+    #     stage (signatures, verify) reads them instead of re-shingling;
+    #  2. the band table is SLIM (band, band_sig, id) — gram arrays do
+    #     NOT ride the self-join shuffle/sort, only 3 scalar columns do;
+    #     also checkpointed, since purge + join-left + join-right would
+    #     otherwise each recompute the md5-per-gram signature work;
+    #  3. candidates are deduped FIRST, then the two gram-array attach
+    #     joins + array_intersect verify run once per DISTINCT pair (the
+    #     same bloom-attach join shape as operators/matching.py — never a
+    #     pairs x grams row explosion).
+    # Docs shorter than one shingle still get a (singleton) cluster row
+    # from the left join below.
+    gram_sets = (
+        docs.where(F.length(text_col) >= shingle_q)
+        .select(
             F.col(id_col).alias("id"),
             F.array_distinct(qgrams_expr(F.col(text_col), shingle_q)).alias(
                 "grams"
             ),
         )
+        .localCheckpoint(eager=False)
+    )
+    rows = num_hashes // num_bands
+    banded = (
+        gram_sets.select(
+            "id", F.transform(F.col("grams"), hashing.md5_int_expr).alias("_bases")
+        )
+        .select(
+            "id",
+            hashing.minhash_from_bases_expr(F.col("_bases"), num_hashes).alias(
+                "signature"
+            ),
+        )
+        .select(
+            "id",
+            F.explode(
+                hashing.minhash_bands_expr(F.col("signature"), num_bands, rows)
+            ).alias("b"),
+        )
+        .select("id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+        .localCheckpoint(eager=False)
+    )
+    if max_bucket_size is not None:
+        # slim count aggregate + left_semi: the skew guard stays BEFORE the
+        # self-join (same pattern as minhash_lsh_pairs / HLSH purge)
+        keep = (
+            banded.groupBy("band", "band_sig")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(keep, ["band", "band_sig"], "left_semi")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    if verify_threshold is not None:
         pairs = (
             pairs.join(
-                gram_sets.select(
-                    F.col("id").alias("id1"), F.col("grams").alias("g1")
-                ),
+                gram_sets.select(F.col("id").alias("id1"), F.col("grams").alias("g1")),
                 "id1",
             )
             .join(
-                gram_sets.select(
-                    F.col("id").alias("id2"), F.col("grams").alias("g2")
-                ),
+                gram_sets.select(F.col("id").alias("id2"), F.col("grams").alias("g2")),
                 "id2",
             )
             .withColumn("c", F.size(F.array_intersect("g1", "g2")))
             .where(
-                F.col("c")
-                / (F.size("g1") + F.size("g2") - F.col("c"))
+                F.col("c") / (F.size("g1") + F.size("g2") - F.col("c"))
                 >= F.lit(verify_threshold)
             )
             .select("id1", "id2")
