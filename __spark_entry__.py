@@ -72,6 +72,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_pprl_records(spark, sf_dir):
+    """Normalized party records from the documents-derived parties (S1/S2 scan + P1/P2 null-drop)."""
     return _pprl_records(spark, sf_dir)
 
 
@@ -133,6 +134,7 @@ def _q_pages_text_invariant(spark, sf_dir):
 
 
 def _q_pprl_classified(spark, sf_dir):
+    """Reference-set classification stage: per-record block-id arrays from prefix binary search + Levenshtein (D1)."""
     records = _pprl_records(spark, sf_dir)
     rs = testdata.reference_sets_from_records(records, CFG)
     db = max(
@@ -148,6 +150,7 @@ def _q_pprl_classified(spark, sf_dir):
 
 
 def _q_pprl_block_elements(spark, sf_dir):
+    """Block table after purge: (blockID, party, recordID) with oversized blocks dropped (J1)."""
     records = _pprl_records(spark, sf_dir)
     rs = testdata.reference_sets_from_records(records, CFG)
     db = max(
@@ -200,16 +203,19 @@ def _q_pprl_pruned_candidates(spark, sf_dir):
 
 
 def _q_pprl_candidates(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs from the banded window over purged blocks (J4/D5)."""
     res = _pprl_pipeline(spark, sf_dir)
     return res.candidates
 
 
 def _q_pprl_matches(spark, sf_dir):
+    """Dice-scored match pairs at the configured threshold (D6/P8)."""
     res = _pprl_pipeline(spark, sf_dir)
     return res.matches.select("record1", "record2", "matched_fields")
 
 
 def _q_pprl_clusters(spark, sf_dir):
+    """Entity clusters: iterative min-label connected components over the match pairs."""
     res = _pprl_pipeline(spark, sf_dir)
     return clustering.clusters_table(res.components).select(
         "component", F.col("size")
@@ -246,6 +252,7 @@ def _q_pprl_metrics(spark, sf_dir):
 
 
 def _q_pprl_bloom_cardinality(spark, sf_dir):
+    """CLK Bloom encodings' popcounts per record/attr (D4 encoder surface)."""
     records = _pprl_records(spark, sf_dir)
     blooms = matching.encode_blooms(records, CFG)
     per_attr = F.array(
@@ -271,6 +278,7 @@ def _q_pprl_bloom_cardinality(spark, sf_dir):
 
 
 def _q_rel_project_filter(spark, sf_dir):
+    """Projection + alias + filter pushdown over customer (P1)."""
     c = _read(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -281,6 +289,7 @@ def _q_rel_project_filter(spark, sf_dir):
 
 
 def _q_rel_distinct_norm(spark, sf_dir):
+    """distinct over a normalized column (A1 + P5/P6 chain)."""
     d = _read(spark, sf_dir, "documents")
     return (
         d.select(F.upper("source").alias("source_u"))
@@ -290,6 +299,7 @@ def _q_rel_distinct_norm(spark, sf_dir):
 
 
 def _q_rel_groupby_collect(spark, sf_dir):
+    """groupBy + order-fixed collect_list (A2/A3 with array_sort determinism)."""
     d = _read(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -300,6 +310,7 @@ def _q_rel_groupby_collect(spark, sf_dir):
 
 
 def _q_rel_join_agg(spark, sf_dir):
+    """inner equi-join + aggregate (J2/A5 shape)."""
     o = _read(spark, sf_dir, "orders")
     c = _read(spark, sf_dir, "customer")
     return (
@@ -313,6 +324,7 @@ def _q_rel_join_agg(spark, sf_dir):
 
 
 def _q_rel_union_all(spark, sf_dir):
+    """union of tagged branches + aggregate (U1 surface)."""
     d = _read(spark, sf_dir, "documents")
     even = d.where(F.col("doc_id") % 2 == 0).select("doc_id", F.lit("even").alias("tag"))
     odd = d.where(F.col("doc_id") % 2 == 1).select("doc_id", F.lit("odd").alias("tag"))
@@ -320,6 +332,7 @@ def _q_rel_union_all(spark, sf_dir):
 
 
 def _q_rel_topk(spark, sf_dir):
+    """global top-k via TakeOrderedAndProject (no full sort; O2 extension)."""
     o = _read(spark, sf_dir, "orders")
     # global top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
     # heaps, no single-task global window); rank is assigned afterwards on
@@ -373,6 +386,7 @@ def _q_rel_q3_shipping(spark, sf_dir):
 
 
 def _q_rel_left_outer_agg(spark, sf_dir):
+    """left-outer join preserving unmatched rows + aggregate."""
     c = _read(spark, sf_dir, "customer")
     o = _read(spark, sf_dir, "orders")
     return (
@@ -383,6 +397,7 @@ def _q_rel_left_outer_agg(spark, sf_dir):
 
 
 def _q_rel_anti_join(spark, sf_dir):
+    """left_anti join (absence semantics)."""
     c = _read(spark, sf_dir, "customer")
     o = _read(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
@@ -391,6 +406,7 @@ def _q_rel_anti_join(spark, sf_dir):
 
 
 def _q_rel_semi_join(spark, sf_dir):
+    """left_semi join (existence semantics, no row multiplication)."""
     s = _read(spark, sf_dir, "supplier")
     n = _read(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
     return s.join(
@@ -399,6 +415,7 @@ def _q_rel_semi_join(spark, sf_dir):
 
 
 def _q_rel_rollup(spark, sf_dir):
+    """rollup grouping sets with grouping() disambiguation."""
     li = _read(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -436,6 +453,7 @@ def _q_events_sessionize(spark, sf_dir):
 
 
 def _q_rel_agg_pricing(spark, sf_dir):
+    """multi-aggregate groupBy (TPC-H Q1 shape) for agg coverage."""
     li = _read(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
@@ -456,10 +474,12 @@ def _q_rel_agg_pricing(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5-digest groupBy with canonical min-id per content hash."""
     return dedup.exact_duplicates(_read(spark, sf_dir, "documents"))
 
 
 def _q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signature table: one md5 per distinct shingle + affine hash family, pure Catalyst."""
     d = _read(spark, sf_dir, "documents").where(F.length("text") >= 5)
     sigs = dedup.minhash_signatures(d, num_hashes=8, shingle_q=5)
     return sigs.select(
@@ -468,6 +488,7 @@ def _q_dedup_minhash_sig(spark, sf_dir):
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs via banded equi-join with hot-bucket purge."""
     d = _read(spark, sf_dir, "documents").where(F.length("text") >= 5)
     return dedup.minhash_lsh_pairs(
         d, num_hashes=8, num_bands=4, shingle_q=5, max_bucket_size=200
@@ -500,6 +521,7 @@ def _q_dedup_stream_static(spark, sf_dir):
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact q-gram Jaccard pairs via inverted-index self-join with document-frequency capping."""
     d = _read(spark, sf_dir, "documents").where(
         (F.col("doc_id") < 60) & (F.length("text") >= 3)
     )
@@ -514,6 +536,7 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex token counts, pure Catalyst."""
     d = _read(spark, sf_dir, "documents")
     toks = tx.tokens_expr(F.col("text"))
     n = F.size(toks)
@@ -531,6 +554,7 @@ def _q_text_token_stats(spark, sf_dir):
 
 
 def _q_text_quality(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword-ratio features, zero UDF."""
     d = _read(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -541,6 +565,7 @@ def _q_text_quality(spark, sf_dir):
 
 
 def _q_text_langid(spark, sf_dir):
+    """n-gram-heuristic language id over the documents table."""
     d = _read(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -550,16 +575,19 @@ def _q_text_langid(spark, sf_dir):
 
 
 def _q_text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (content-defined, shift-invariant)."""
     d = _read(spark, sf_dir, "documents")
     return d.select("doc_id", tx.fingerprint_expr(F.col("text")).alias("fingerprint"))
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast bounded query set, corpus never pair-shuffles."""
     e = _read(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
 def _q_emb_near_pairs(spark, sf_dir):
+    """Embedding near-dup pairs inside coarse buckets (bucket equi-join, never all-pairs)."""
     e = _read(spark, sf_dir, "embeddings")
     # embeddings are near-orthogonal (max within-label cosine ~0.47 at
     # sf0.01), so the "near-dup" threshold is set where pairs exist
