@@ -279,32 +279,25 @@ def minhash_band_index(
     At cluster scale this is the checkpointed/bucketed static side of
     ``streaming.jobs.dedup_stream_against``: bucketed by (band, band_sig)
     the per-micro-batch candidate join needs no shuffle of the corpus.
-    Output: (band, band_sig, id, grams).
+    Output: (band, band_sig, id, grams) — ``grams`` is the doc's distinct
+    q-gram set HASHED to xxhash64 int64 (both verify sides derive from
+    this same function, so Jaccard over the hashed sets equals Jaccard
+    over the string sets absent 64-bit collisions; see canonical_docs).
     """
     rows = num_hashes // num_bands
     docs = docs.where(F.length(text_col) >= shingle_q)
-    # grams projected FIRST so both the verify array and the signature's
-    # base hashes derive from the one materialized column (no double
-    # shingling)
-    sigs = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(qgrams_expr(F.col(text_col), shingle_q)).alias(
-                "grams"
-            ),
-        )
-        .select(
-            "id",
-            "grams",
-            F.transform(F.col("grams"), hashing.md5_int_expr).alias("_bases"),
-        )
-        .select(
-            "id",
-            "grams",
-            hashing.minhash_from_bases_expr(
-                F.col("_bases"), num_hashes
-            ).alias("signature"),
-        )
+    # hashed grams projected FIRST so both the verify array and the
+    # signature derive from the one materialized distinct-gram column (no
+    # double shingling, no string payload in the index)
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(qgrams_expr(F.col(text_col), shingle_q)).alias("_g"),
+    ).select(
+        "id",
+        F.transform(F.col("_g"), lambda g: F.xxhash64(g)).alias("grams"),
+        hashing.minhash_from_bases_expr(
+            F.transform(F.col("_g"), hashing.md5_int_expr), num_hashes
+        ).alias("signature"),
     )
     return sigs.select(
         "id",
@@ -343,7 +336,9 @@ def canonical_docs(
     ``verify_threshold``: LSH banding is a RECALL device — narrow bands
     admit low-similarity candidates, and transitive closure would snowball
     them into mega-clusters. The verify step recomputes the EXACT distinct
-    q-gram Jaccard for each surviving candidate pair (cost bounded by
+    q-gram Jaccard for each surviving candidate pair — over the xxhash64
+    image of each gram set, identical to the string-set Jaccard absent
+    64-bit collisions — (cost bounded by
     |candidates| x grams-per-doc, never pairwise in the corpus) and keeps
     only pairs >= threshold, so cluster edges are true near-dups. ``None``
     skips the verify (raw LSH closure).
@@ -358,8 +353,16 @@ def canonical_docs(
     from .clustering import connected_components_edges
 
     # Stage shape, sized for a corpus where the band self-join dominates:
-    #  1. gram sets materialized ONCE (localCheckpoint) — every later
-    #     stage (signatures, verify) reads them instead of re-shingling;
+    #  1. gram sets hashed ONCE and materialized (localCheckpoint) with
+    #     TWO integer images — md5-32 ``bases`` feeding the MinHash
+    #     signature (the DuckDB-twinable family) and xxhash64 ``grams``
+    #     feeding the verify intersect. Later stages read these instead of
+    #     re-shingling; the verify runs on longs (8 B/gram, integer
+    #     compares), not 5-gram strings, so both the pair-attach shuffle
+    #     and the per-pair intersect cost drop ~2-3x. Jaccard over the
+    #     64-bit sets equals Jaccard over the string sets unless two
+    #     distinct grams of one pair collide in 64 bits (~1e-13 per pair
+    #     at 10^3 grams/doc) — exact at any realistic corpus size;
     #  2. the band table is SLIM (band, band_sig, id) — gram arrays do
     #     NOT ride the self-join shuffle/sort, only 3 scalar columns do;
     #     also checkpointed, since purge + join-left + join-right would
@@ -374,20 +377,20 @@ def canonical_docs(
         docs.where(F.length(text_col) >= shingle_q)
         .select(
             F.col(id_col).alias("id"),
-            F.array_distinct(qgrams_expr(F.col(text_col), shingle_q)).alias(
-                "grams"
-            ),
+            F.array_distinct(qgrams_expr(F.col(text_col), shingle_q)).alias("_g"),
+        )
+        .select(
+            "id",
+            F.transform(F.col("_g"), hashing.md5_int_expr).alias("bases"),
+            F.transform(F.col("_g"), lambda g: F.xxhash64(g)).alias("grams"),
         )
         .localCheckpoint(eager=False)
     )
     rows = num_hashes // num_bands
     banded = (
         gram_sets.select(
-            "id", F.transform(F.col("grams"), hashing.md5_int_expr).alias("_bases")
-        )
-        .select(
             "id",
-            hashing.minhash_from_bases_expr(F.col("_bases"), num_hashes).alias(
+            hashing.minhash_from_bases_expr(F.col("bases"), num_hashes).alias(
                 "signature"
             ),
         )
