@@ -580,6 +580,61 @@ def _q_text_fingerprint(spark, sf_dir):
     return d.select("doc_id", tx.fingerprint_expr(F.col("text")).alias("fingerprint"))
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals over a synthesized
+    multi-line page (nav/footer chrome wrapped around each doc's text):
+    top-bigram fraction + duplicate-line fraction, pure Catalyst."""
+    d = _read(spark, sf_dir, "documents")
+    page_text = F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact"),
+        F.col("text"),
+        F.lit("Home | About | Contact"),
+        # footer repeats the nav line for every third doc, so the
+        # duplicate-line fraction discriminates by doc, not just layout
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Home | About | Contact")).otherwise(
+            F.concat(F.lit("(c) example.org page "), F.col("doc_id").cast("string"))
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.round(tx.top_bigram_fraction_expr(F.col("text")), 4).alias("top_bigram_frac"),
+        F.round(tx.dup_line_fraction_expr(page_text), 4).alias("dup_line_frac"),
+    )
+
+
+def _q_pages_url_dedup(spark, sf_dir):
+    """URL-level crawl dedup: every page is 'crawled' twice — once at the
+    clean url and once at a deterministically mutated twin (www + scheme
+    case, tracking params, fragment + trailing slash, or a REAL query
+    param) — then collapsed on the canonical form. Real params survive
+    (mod-4==3 twins stay distinct); everything else collapses."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import (
+        extract,
+    )
+
+    pages = _pages_from_documents(spark, sf_dir)
+    d = F.regexp_extract("url", r"D([0-9]+)$", 1).cast("long")
+    twin = (
+        F.when(d % 4 == 0, F.regexp_replace("url", r"^http://", "http://WWW."))
+        .when(d % 4 == 1, F.concat(F.col("url"), F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(d % 4 == 2, F.concat(F.col("url"), F.lit("/#section-2")))
+        .otherwise(F.concat(F.col("url"), F.lit("?id=7&utm_campaign=x")))
+    )
+    raw = pages.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("url").alias("url"), F.col("warc_ts").alias("warc_ts")),
+                F.struct(
+                    twin.alias("url"),
+                    (F.col("warc_ts") + F.make_interval(hours=F.lit(1))).alias("warc_ts"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.url", "r.warc_ts")
+    return extract.dedup_pages_by_url(raw)
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: broadcast bounded query set, corpus never pair-shuffles."""
     e = _read(spark, sf_dir, "embeddings")
@@ -735,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
+        "pages_url_dedup": _q_pages_url_dedup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1184,6 +1241,99 @@ def oracle_sql() -> dict[str, str]:
                      (a, b) -> (a * 31 + b) % 2147483647
                    ) AS fingerprint
             FROM documents
+        """,
+        "text_repetition": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     'Home | About | Contact' || chr(10) || text || chr(10)
+                       || 'Home | About | Contact' || chr(10)
+                       || CASE WHEN doc_id % 3 = 0 THEN 'Home | About | Contact'
+                               ELSE '(c) example.org page ' || CAST(doc_id AS VARCHAR) END
+                       AS page_text
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM base
+            ), bg AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+              FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 2
+            ), cnt AS (
+              SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+            ), topf AS (
+              SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_frac FROM cnt GROUP BY doc_id
+            ), ln AS (
+              SELECT doc_id, trim(l) AS line
+              FROM base, unnest(string_split(page_text, chr(10))) AS u(l)
+              WHERE len(trim(l)) > 0
+            ), dl AS (
+              SELECT doc_id,
+                     (count(*) - count(DISTINCT line))::DOUBLE / count(*) AS dup_frac
+              FROM ln GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   round(COALESCE(t.top_frac, 0.0), 4) AS top_bigram_frac,
+                   round(COALESCE(d.dup_frac, 0.0), 4) AS dup_line_frac
+            FROM base b
+            LEFT JOIN topf t ON t.doc_id = b.doc_id
+            LEFT JOIN dl d ON d.doc_id = b.doc_id
+        """,
+        "pages_url_dedup": r"""
+            WITH pages AS (
+              SELECT doc_id,
+                     'http://' || CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+                       || '.example.org/page/D' || CAST(doc_id AS VARCHAR) AS url,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + to_seconds(doc_id % 86400) AS warc_ts
+              FROM documents
+            ), raw AS (
+              SELECT url, warc_ts FROM pages
+              UNION ALL
+              SELECT CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN regexp_replace(url, '^http://', 'http://WWW.')
+                       WHEN 1 THEN url || '?utm_source=feed&utm_medium=rss'
+                       WHEN 2 THEN url || '/#section-2'
+                       ELSE url || '?id=7&utm_campaign=x' END AS url,
+                     warc_ts + INTERVAL 1 HOUR AS warc_ts
+              FROM pages
+            ), c0 AS (
+              SELECT regexp_replace(url, '#.*$', '') AS u, warc_ts FROM raw
+            ), c1 AS (
+              SELECT CASE WHEN kept = '' THEN base ELSE base || '?' || kept END AS u,
+                     warc_ts
+              FROM (
+                SELECT regexp_replace(u, '\?.*$', '') AS base,
+                       -- array_to_string([]) is NULL in DuckDB, not ''
+                       COALESCE(array_to_string(
+                         list_filter(string_split(regexp_extract(u, '\?(.*)$', 1), '&'),
+                           p -> len(p) > 0
+                                AND NOT regexp_matches(p, '^(utm_|fbclid=|gclid=)')),
+                         '&'), '') AS kept,
+                       warc_ts
+                FROM c0)
+            ), c2 AS (
+              SELECT lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     regexp_replace(
+                       lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
+                       '^www\.', '') AS host0,
+                     regexp_replace(
+                       regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''),
+                       '/$', '') AS rest,
+                     u, warc_ts
+              FROM c1
+            ), c3 AS (
+              SELECT CASE WHEN scheme = '' THEN u
+                          ELSE scheme || '://' ||
+                               CASE WHEN scheme = 'http'
+                                      THEN regexp_replace(host0, ':80$', '')
+                                    WHEN scheme = 'https'
+                                      THEN regexp_replace(host0, ':443$', '')
+                                    ELSE host0 END || rest END AS url_canonical,
+                     warc_ts
+              FROM c2
+            )
+            SELECT url_canonical, CAST(count(*) AS BIGINT) AS n_raw,
+                   min(warc_ts) AS first_ts
+            FROM c3 GROUP BY url_canonical
         """,
         "ann_cosine_topk": """
             WITH q AS (

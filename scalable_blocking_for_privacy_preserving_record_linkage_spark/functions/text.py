@@ -97,3 +97,48 @@ def qgrams_expr(text: Column, q: int) -> Column:
             lambda i: text.substr(i, F.lit(q)),
         )
     )
+
+
+def bigrams_expr(text: Column) -> Column:
+    """Adjacent word bigrams joined with one space; < 2 tokens -> []."""
+    toks = tokens_expr(text)
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+
+
+def top_bigram_fraction_expr(text: Column) -> Column:
+    """Fraction of word bigrams taken by the single most frequent bigram —
+    the Gopher-style within-document repetition signal (boilerplate and
+    template pages score high). Pure Catalyst: distinct bigrams scored by
+    a filter-count — O(distinct x total) per doc, fine at document length;
+    docs with < 2 tokens score 0.0. SQL twin: per-doc bigram GROUP BY +
+    max(count)/sum(count).
+    """
+    bgs = bigrams_expr(text)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bgs),
+            lambda d: F.size(F.filter(bgs, lambda b: b == d)),
+        )
+    )
+    return F.when(F.size(bgs) > 0, top / F.size(bgs)).otherwise(F.lit(0.0))
+
+
+def dup_line_fraction_expr(text: Column) -> Column:
+    """Fraction of non-blank lines that are duplicates of an earlier line
+    (1 - distinct/total) — the other standard repetition filter for web
+    text (navigation chrome, repeated footers). Blank/whitespace-only
+    lines are ignored; 0 lines -> 0.0.
+    """
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))) / n
+    ).otherwise(F.lit(0.0))

@@ -204,10 +204,21 @@ def ngram_jaccard_pairs(
     bounded pair×grams join, so the reported Jaccard stays EXACT. The only
     semantic change: pairs sharing nothing but stop-grams are dropped
     (by construction they sit far below any useful threshold).
+
+    The inverted index carries xxhash64(gram), not the gram string: the
+    exploded index is this operator's dominant shuffle (one row per
+    (doc, distinct gram)), and an 8-byte key both shrinks it and makes
+    the equi-join compare longs. Jaccard is unchanged unless two distinct
+    grams of one candidate pair collide in 64 bits (~1e-13).
     """
     grams = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(qgrams_expr(F.col(text_col), q))).alias("gram"),
+        F.explode(
+            F.transform(
+                F.array_distinct(qgrams_expr(F.col(text_col), q)),
+                lambda g: F.xxhash64(g),
+            )
+        ).alias("gram"),
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     if df_cap is not None:

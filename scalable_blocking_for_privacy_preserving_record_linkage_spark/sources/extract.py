@@ -70,3 +70,68 @@ def normalize_records(records: DataFrame, cfg: PPRLConfig) -> DataFrame:
         c = F.col(attr).isNotNull() & (F.length(attr) > 0)
         cond = c if cond is None else (cond & c)
     return df.where(cond)
+
+
+_TRACKING_PARAM_RE = r"^(utm_|fbclid=|gclid=)"
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Crawl-dedup URL canonicalization, pure Catalyst with an exact SQL
+    twin (no regex backreferences — portable across Java regex and RE2):
+
+    * drop the ``#fragment``
+    * drop tracking query params (``utm_*``, ``fbclid``, ``gclid``) via
+      split -> filter -> rejoin, preserving real params and their order
+    * lowercase scheme and host; strip a leading ``www.``
+    * strip the scheme-default port (``:80`` http, ``:443`` https)
+    * strip one trailing ``/`` from the path (root ``/`` included)
+
+    URLs without a ``scheme://`` prefix pass through unchanged. This is
+    the first stage of exact URL-level dedup for a crawl corpus — group
+    on the canonical form before any content hashing.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_replace(u, r"\?.*$", "")
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    kept = F.array_join(
+        F.filter(
+            F.split(query, r"&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RE),
+        ),
+        "&",
+    )
+    u = F.when(kept == "", base).otherwise(F.concat(base, F.lit("?"), kept))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.when(
+        scheme == "", url
+    ).otherwise(F.concat(scheme, F.lit("://"), host, rest))
+
+
+def dedup_pages_by_url(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """URL-level crawl dedup: one row per canonical URL with the raw-URL
+    fan-in and the FIRST crawl timestamp (recrawls and tracking-param /
+    fragment / www variants collapse). One slim groupBy shuffle on the
+    canonical key — at 10^12 pages this is the cheapest dedup pass and
+    runs before any content-based stage. Output: (url_canonical, n_raw,
+    first_ts).
+    """
+    return (
+        pages.select(
+            canonical_url_expr(F.col(url_col)).alias("url_canonical"),
+            F.col(ts_col),
+        )
+        .groupBy("url_canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.min(ts_col).alias("first_ts"),
+        )
+    )

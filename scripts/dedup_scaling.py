@@ -60,10 +60,18 @@ def main() -> None:
     ap.add_argument("--inflate", type=int, default=16)
     args = ap.parse_args()
 
+    # shuffle partition count scales with DATA and is IDENTICAL at both
+    # parallelism levels (how a real cluster sizes shuffles: partitions
+    # follow input bytes, executors vary). Sizing it to the core count
+    # instead gives the low-parallelism level smaller per-task sorts —
+    # the verify join carries ~5KB gram-array rows, and cores x 400MB
+    # sort state spills at the HIGH level only, corrupting the scaling
+    # signal with an artifact of the fixed 8g single-process heap.
+    shuffle_parts = max(32, args.inflate * 4)
     spark = get_spark(
         app_name=f"dedup-scaling-{args.cpus}",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=args.cpus,
+        shuffle_partitions=shuffle_parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

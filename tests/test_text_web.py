@@ -1,0 +1,105 @@
+"""Webtext operators: URL canonicalization/dedup and repetition signals."""
+
+from pyspark.sql import functions as F
+
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.functions import (
+    text as tx,
+)
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import (
+    extract,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.c for r in df.select(extract.canonical_url_expr(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_canonical_url_variants_collapse(spark):
+    variants = [
+        "http://example.org/a",
+        "HTTP://WWW.Example.ORG/a",
+        "http://example.org:80/a",
+        "http://example.org/a/",
+        "http://example.org/a#frag",
+        "http://example.org/a?utm_source=x&utm_medium=y",
+    ]
+    assert set(_canon(spark, variants)) == {"http://example.org/a"}
+
+
+def test_canonical_url_preserves_real_params_and_order(spark):
+    got = _canon(
+        spark,
+        [
+            "https://shop.example.com:443/item?b=2&utm_campaign=sale&a=1",
+            "https://shop.example.com/item?b=2&a=1#reviews",
+            "https://shop.example.com/item?a=1&b=2",
+        ],
+    )
+    assert got[0] == got[1] == "https://shop.example.com/item?b=2&a=1"
+    # param ORDER is preserved, not sorted: a=1&b=2 stays distinct
+    assert got[2] == "https://shop.example.com/item?a=1&b=2"
+
+
+def test_canonical_url_no_scheme_passthrough(spark):
+    assert _canon(spark, ["not a url", "/relative/path"]) == [
+        "not a url",
+        "/relative/path",
+    ]
+
+
+def test_dedup_pages_by_url_keeps_first_crawl(spark):
+    rows = [
+        ("http://a.org/p", "2024-01-02 00:00:00"),
+        ("http://www.a.org/p/", "2024-01-01 00:00:00"),
+        ("http://a.org/p?utm_source=rss", "2024-01-03 00:00:00"),
+        ("http://a.org/q?id=1", "2024-01-01 00:00:00"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts string").withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    out = {
+        r.url_canonical: (r.n_raw, str(r.first_ts))
+        for r in extract.dedup_pages_by_url(pages).collect()
+    }
+    assert out == {
+        "http://a.org/p": (3, "2024-01-01 00:00:00"),
+        "http://a.org/q?id=1": (1, "2024-01-01 00:00:00"),
+    }
+
+
+def test_repetition_signals(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),               # all bigrams distinct
+            (1, "buy now buy now buy now"),              # 'buy now' dominates
+            (2, "x"),                                     # < 2 tokens
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id",
+            F.round(tx.top_bigram_fraction_expr(F.col("text")), 4).alias("f"),
+        ).collect()
+    }
+    assert got[0] == 0.2  # 5 bigrams, each once... except 'the' repeats -> max 1/5
+    assert got[1] == 0.6  # 'buy now' 3 of 5
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_dup_line_fraction(spark):
+    text = "nav | bar\nreal content here\n\n   \nnav | bar\nfooter"
+    df = spark.createDataFrame([(text,), ("",), ("one line",)], "t string")
+    got = [
+        r.f
+        for r in df.select(
+            F.round(tx.dup_line_fraction_expr(F.col("t")), 4).alias("f")
+        ).collect()
+    ]
+    # 4 non-blank lines, one duplicated -> 1/4; blanks ignored
+    assert got == [0.25, 0.0, 0.0]
