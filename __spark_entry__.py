@@ -635,6 +635,28 @@ def _q_pages_url_dedup(spark, sf_dir):
     return extract.dedup_pages_by_url(raw)
 
 
+def _q_events_asof_attribution(spark, sf_dir):
+    """As-of (point-in-time) join: each purchase attached to the same
+    user's latest click at-or-before it — resolved with ONE union +
+    window pass (no join in the plan), the attribution primitive Spark
+    lacks natively. Oracle: DuckDB ASOF LEFT JOIN."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        asof,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("id"), F.col("value").alias("value")
+    )
+    return asof.asof_join(
+        purchases, clicks, on="ts", by=("user_id",), right_cols=["id", "value"],
+        suffix="_click",
+    )
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: broadcast bounded query set, corpus never pair-shuffles."""
     e = _read(spark, sf_dir, "embeddings")
@@ -792,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
         "pages_url_dedup": _q_pages_url_dedup,
+        "events_asof_attribution": _q_events_asof_attribution,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1334,6 +1357,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_canonical, CAST(count(*) AS BIGINT) AS n_raw,
                    min(warc_ts) AS first_ts
             FROM c3 GROUP BY url_canonical
+        """,
+        "events_asof_attribution": """
+            SELECT l.event_id, l.ts, l.user_id, l.value,
+                   r.ts AS ts_click, r.event_id AS id_click,
+                   r.value AS value_click
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "ann_cosine_topk": """
             WITH q AS (
