@@ -635,6 +635,60 @@ def _q_pages_url_dedup(spark, sf_dir):
     return extract.dedup_pages_by_url(raw)
 
 
+_CANARY = (
+    "the quick brown fox jumps over the lazy dog while rain falls on "
+    "the quiet river stones at dawn every single day"
+)
+
+
+def _q_text_pii(spark, sf_dir):
+    """PII detection + scrub pass: deterministic email/phone/IP injection
+    per doc, counted with pii_counts_expr and redacted with
+    scrub_pii_expr; the md5 of the scrubbed text value-checks the exact
+    redaction output against the SQL twin."""
+    d = _read(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@ex.org")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit(" call 555-867-5309 now"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" host 192.168.1.77 down"))
+        .otherwise(F.lit("")),
+    )
+    c = tx.pii_counts_expr(injected)
+    return d.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_phones"].alias("n_phones"),
+        c["n_ips"].alias("n_ips"),
+        F.md5(tx.scrub_pii_expr(injected)).alias("scrubbed_md5"),
+    )
+
+
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    eval set (with a canary suffix); corpus docs with doc_id % 10 == 3
+    carry the same canary (the leak). 13-gram overlap flags exactly the
+    leaked docs; the oracle replays the overlap on the string grams."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        contamination,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0).select(
+        "doc_id", F.concat("text", F.lit(" " + _CANARY)).alias("text")
+    )
+    corpus = d.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.concat("text", F.lit(" " + _CANARY))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return contamination.ngram_contamination(corpus, bench, n=13, min_hits=1)
+
+
 def _q_events_asof_attribution(spark, sf_dir):
     """As-of (point-in-time) join: each purchase attached to the same
     user's latest click at-or-before it — resolved with ONE union +
@@ -815,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "pages_url_dedup": _q_pages_url_dedup,
         "events_asof_attribution": _q_events_asof_attribution,
+        "text_pii": _q_text_pii,
+        "text_decontaminate": _q_text_decontaminate,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1358,6 +1414,67 @@ def oracle_sql() -> dict[str, str]:
                    min(warc_ts) AS first_ts
             FROM c3 GROUP BY url_canonical
         """,
+        "text_pii": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text || CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                       WHEN 1 THEN ' call 555-867-5309 now'
+                       WHEN 2 THEN ' host 192.168.1.77 down'
+                       ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INTEGER) AS n_phones,
+                   CAST(len(regexp_extract_all(t,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+                     AS scrubbed_md5
+            FROM inj
+        """,
+        "text_decontaminate": r"""
+            WITH bench AS (
+              SELECT doc_id, text || ' {canary}' AS t
+              FROM documents WHERE doc_id % 97 = 0
+            ), corp AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 3 THEN text || ' {canary}'
+                          ELSE text END AS t
+              FROM documents WHERE doc_id % 97 <> 0
+            ), btk AS (
+              SELECT string_split_regex(trim(t), '\s+') AS toks FROM bench
+            ), bg AS (
+              SELECT DISTINCT array_to_string(toks[i:i+12], ' ') AS g
+              FROM btk, unnest(generate_series(1, len(toks) - 12)) AS u(i)
+              WHERE len(toks) >= 13
+            ), ctk AS (
+              SELECT doc_id, string_split_regex(trim(t), '\s+') AS toks FROM corp
+            ), cg AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS g
+              FROM ctk, unnest(generate_series(1, len(toks) - 12)) AS u(i)
+              WHERE len(toks) >= 13
+            ), tot AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams
+              FROM cg GROUP BY doc_id
+            ), hit AS (
+              SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM cg JOIN bg USING (g) GROUP BY cg.doc_id
+            )
+            SELECT c.doc_id,
+                   COALESCE(t.total_grams, 0) AS total_grams,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   CAST(CASE WHEN COALESCE(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END
+                        AS INTEGER) AS contaminated
+            FROM corp c
+            LEFT JOIN tot t ON t.doc_id = c.doc_id
+            LEFT JOIN hit h ON h.doc_id = c.doc_id
+        """.replace("{canary}", _CANARY),
         "events_asof_attribution": """
             SELECT l.event_id, l.ts, l.user_id, l.value,
                    r.ts AS ts_click, r.event_id AS id_click,

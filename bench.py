@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "rel_topk",             # global top-k window
     "rel_cyclic_block_ids", # partitioned window lead/first_value
     "events_sessionize",    # gap sessionization (lag + cumulative sum)
+    "events_asof_attribution",  # as-of join via union + running window
     "dedup_minhash_lsh",    # minhash + band join
     "dedup_canonical",      # LSH -> verify -> iterative CC -> survivors
     "dedup_simhash",        # simhash + hamming self-join

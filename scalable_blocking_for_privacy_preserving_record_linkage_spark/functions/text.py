@@ -142,3 +142,30 @@ def dup_line_fraction_expr(text: Column) -> Column:
     return F.when(
         n > 0, (n - F.size(F.array_distinct(lines))) / n
     ).otherwise(F.lit(0.0))
+
+
+# PII patterns — portable across Java regex (Spark) and RE2 (DuckDB):
+# no lookarounds, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_counts_expr(text: Column) -> Column:
+    """struct(n_emails, n_phones, n_ips) — occurrence counts of the three
+    classic scrub targets. SQL twin: len(regexp_extract_all(...))."""
+    return F.struct(
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
+    )
+
+
+def scrub_pii_expr(text: Column) -> Column:
+    """Replace emails/phones/IPv4s with typed placeholder tokens — the
+    standard redaction pass a training corpus runs before tokenization.
+    Order matters: emails first (an email never contains a phone match,
+    but scrubbing IPs first could split an email's host)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")

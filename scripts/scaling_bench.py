@@ -80,8 +80,15 @@ def main() -> None:
     ap.add_argument("--inflate", type=int, default=4)
     args = ap.parse_args()
 
+    # shuffle partition count scales with DATA and is IDENTICAL at both
+    # parallelism levels — a real cluster sizes shuffles to input bytes
+    # while executors vary. Sizing to the core count gave the
+    # low-parallelism level multi-GB per-task sorts of the candidate-pair
+    # bitset shuffle (spill asymmetry that corrupts the N-vs-4N signal;
+    # see the dedup-path campaign disclosure in BENCH/BASELINE.md).
+    shuffle_parts = max(32, args.inflate * 2)
     spark = get_spark(app_name=f"pprl-scaling-{args.cpus}", master=f"local[{args.cpus}]",
-                      shuffle_partitions=args.cpus)
+                      shuffle_partitions=shuffle_parts)
     spark.sparkContext.setLogLevel("ERROR")
 
     records = inflated_records(spark, args.sf_dir, args.inflate)

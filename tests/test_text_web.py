@@ -103,3 +103,16 @@ def test_dup_line_fraction(spark):
     ]
     # 4 non-blank lines, one duplicated -> 1/4; blanks ignored
     assert got == [0.25, 0.0, 0.0]
+
+
+def test_canonical_url_idempotent(spark):
+    urls = [
+        "http://example.org/a",
+        "HTTPS://WWW.Shop.Example.COM:443/x/?b=2&utm_s=1#f",
+        "http://example.org:80/deep/path/?utm_source=x",
+        "not a url",
+        "http://h.org/p?a=1&b=2&c=3",
+    ]
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert once == twice
