@@ -689,6 +689,19 @@ def _q_text_decontaminate(spark, sf_dir):
     return contamination.ngram_contamination(corpus, bench, n=13, min_hits=1)
 
 
+def _q_docs_domain_cap(spark, sf_dir):
+    """Domain balancing: cap documents at 10 per source via the
+    skew-safe cap_per_key (count-attach pass-through + hash prefilter +
+    bounded rank — a hot domain never funnels one window task). Oracle
+    replays the identical md5-hash selection in SQL."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        ranking,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return ranking.cap_per_key(d, ("source",), 10, "doc_id")
+
+
 def _q_events_asof_attribution(spark, sf_dir):
     """As-of (point-in-time) join: each purchase attached to the same
     user's latest click at-or-before it — resolved with ONE union +
@@ -871,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": _q_events_asof_attribution,
         "text_pii": _q_text_pii,
         "text_decontaminate": _q_text_decontaminate,
+        "docs_domain_cap": _q_docs_domain_cap,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1413,6 +1427,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_canonical, CAST(count(*) AS BIGINT) AS n_raw,
                    min(warc_ts) AS first_ts
             FROM c3 GROUP BY url_canonical
+        """,
+        "docs_domain_cap": """
+            WITH c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY source
+            ), d AS (
+              SELECT doc_id, documents.source, cnt,
+                     ('0x' || substr(md5('0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+              FROM documents JOIN c ON c.source = documents.source
+            ), p AS (
+              SELECT doc_id, source FROM d WHERE cnt <= 10
+            ), cand AS (
+              SELECT doc_id, source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+              FROM d WHERE cnt > 10 AND h < 4294967296.0 * 4 * 10 / cnt
+            )
+            SELECT doc_id, source FROM p
+            UNION ALL
+            SELECT doc_id, source FROM cand WHERE rn <= 10
         """,
         "text_pii": r"""
             WITH inj AS (

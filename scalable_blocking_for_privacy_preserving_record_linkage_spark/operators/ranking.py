@@ -47,3 +47,53 @@ def global_rank(
         rank_col,
         (F.row_number().over(w) + mapping[F.col("_p")]).cast("int"),
     ).drop("_p")
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    k: int,
+    tiebreak_col: str,
+    seed: int = 0,
+    prefilter_factor: int = 4,
+) -> DataFrame:
+    """Deterministic per-key row cap — the domain-balancing pass a crawl
+    corpus runs so one boilerplate-heavy host cannot dominate training
+    data: keep (at most) the ``k`` rows with the smallest
+    ``md5_int(seed | tiebreak)`` per key.
+
+    Scale shape, in order of skew exposure:
+
+    * one slim groupBy(key) count + count-attach join (hash exchange on
+      key, shared by the window below);
+    * keys at-or-under the cap PASS THROUGH — no sort, no window;
+    * oversized keys are hash-PREFILTERED before ranking: ``md5_int`` is
+      uniform on [0, 2^32), so keeping hashes below
+      ``2^32 * prefilter_factor * k / count`` leaves ~``factor*k`` rows
+      per key; only those are ranked. A 10^9-row hot domain therefore
+      never funnels through a single window task — the rank input is
+      O(factor * k) rows per key regardless of key size. (With factor 4
+      the chance the prefilter keeps fewer than ``k`` is
+      Chernoff-negligible for k >= ~20; the op then returns what
+      survived — deterministic, and the SQL twin reproduces it exactly.)
+
+    Output: the input rows (original columns) of the kept subset.
+    """
+    keys = list(key_cols)
+    from ..functions.hashing import md5_int_expr
+
+    h = md5_int_expr(
+        F.concat_ws("|", F.lit(str(seed)), F.col(tiebreak_col).cast("string"))
+    )
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
+    dfc = df.join(counts, keys).withColumn("_h", h)
+    passed = dfc.where(F.col("_cnt") <= k)
+    bound = F.lit(float(2**32)) * prefilter_factor * k / F.col("_cnt")
+    cand = dfc.where((F.col("_cnt") > k) & (F.col("_h") < bound))
+    w = Window.partitionBy(*keys).orderBy(F.col("_h").asc(), F.col(tiebreak_col).asc())
+    ranked = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return passed.unionByName(ranked).drop("_cnt", "_h")
