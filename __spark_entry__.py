@@ -786,6 +786,25 @@ def _q_events_windowed(spark, sf_dir):
     return streaming_jobs.windowed_event_counts(e)
 
 
+def _q_events_hopping(spark, sf_dir):
+    """Hopping (overlapping) windowed rollup on the batch events table —
+    each event lands in window/slide buckets; unified batch/stream code
+    path like events_windowed. Oracle enumerates the aligned window
+    starts per event with generate_series."""
+    e = _read(spark, sf_dir, "events")
+    return streaming_jobs.hopping_event_counts(e)
+
+
+def _q_events_percentiles(spark, sf_dir):
+    """Exact per-type value percentiles (linear interpolation) — the
+    distribution-summary aggregate; DuckDB twin is quantile_cont."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+    )
+
+
 def _q_mm_features(spark, sf_dir):
     """Full feature surface — rows-only by design: mean/std/phash come from
     the declared fake codec (PRNG-decoded pixels, not SQL-expressible).
@@ -885,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": _q_text_pii,
         "text_decontaminate": _q_text_decontaminate,
         "docs_domain_cap": _q_docs_domain_cap,
+        "events_hopping": _q_events_hopping,
+        "events_percentiles": _q_events_percentiles,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1556,6 +1577,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "events_hopping": """
+            SELECT TIMESTAMP '1970-01-01 00:00:00' + to_seconds(k * 1800) AS window_start,
+                   TIMESTAMP '1970-01-01 00:00:00' + to_seconds(k * 1800)
+                     + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events, unnest(generate_series(
+                   CAST(floor((epoch(ts) - 3600) / 1800) AS BIGINT) + 1,
+                   CAST(floor(epoch(ts) / 1800) AS BIGINT))) AS u(k)
+            GROUP BY 1, 2, 3
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type
         """,
         "emb_near_pairs": """
             SELECT l.vec_id AS id1, r.vec_id AS id2,

@@ -237,3 +237,31 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def hopping_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked HOPPING-window rollup (overlapping windows; each event
+    lands in window/slide buckets — works batch AND stream, same unified
+    API as the tumbling variant). Output schema matches
+    ``windowed_event_counts``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

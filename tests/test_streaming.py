@@ -147,6 +147,46 @@ def test_windowed_event_counts_stream_vs_batch(spark, tmp_path):
     assert g == w and len(g) > 0
 
 
+def test_hopping_event_counts_stream_vs_batch(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(60),
+            "ts": pd.date_range("2024-01-01", periods=60, freq="11min"),
+            "event_type": ["click" if i % 2 else "view" for i in range(60)],
+            "value": [float(i % 7) for i in range(60)],
+        }
+    )
+    path = str(tmp_path / "events_hop")
+    spark.createDataFrame(pdf).repartition(3).write.parquet(path)
+
+    batch = spark.read.parquet(path)
+    want = jobs.hopping_event_counts(batch)
+    # every event lands in window/slide = 2 overlapping windows
+    n_events = int(
+        want.agg(F.sum("n_events").alias("s")).collect()[0]["s"]
+    )
+    assert n_events == 2 * 60
+
+    stream = (
+        spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = (
+        jobs.hopping_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hop_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select window_start, window_end, event_type, n_events, total_value from hop_stream"
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+
 def test_stateful_sessionize_stream(spark, tmp_path):
     """applyInPandasWithState sessionization: sessions closed by a gap
     within the stream match the batch sessionizer's gap rule."""
