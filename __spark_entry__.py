@@ -806,12 +806,23 @@ def _q_events_percentiles(spark, sf_dir):
 
 
 def _q_mm_features(spark, sf_dir):
-    """Full feature surface — rows-only by design: mean/std/phash come from
-    the declared fake codec (PRNG-decoded pixels, not SQL-expressible).
-    The SQL-checkable slice of the same mapInPandas pass is mm_inventory."""
+    """Full feature surface, VALUE-checked: the fake codec decodes each
+    payload to its md5 digest tiled over the pixel buffer, so mean/std/
+    phash are closed-form functions of the 16 digest bytes that the DuckDB
+    oracle recomputes from md5(text) hex. Engine and oracle perform the
+    identical IEEE float ops on identical integer sums (see
+    multimodal.extract_features), and both round with half-up — bit-equal
+    doubles in, equal rounded values out."""
     d = _read(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(d)
-    return multimodal.extract_features(media)
+    return multimodal.extract_features(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        "phash",
+    )
 
 
 def _q_mm_inventory(spark, sf_dir):
@@ -835,24 +846,36 @@ def _q_mm_bytestats(spark, sf_dir):
 
 
 def _q_mm_resize(spark, sf_dir):
-    """Image-resize plumbing, oracle-checked on its structure: one row per
-    image with the target dimensions and the raw-RGB payload size computed
-    FROM the resized array inside the kernel (3*target^2 bytes)."""
+    """Image-resize, oracle-checked on structure AND content: one row per
+    image with the target dimensions, the raw-RGB payload size computed
+    FROM the resized array inside the kernel (3*target^2 bytes), and the
+    byte SUM of the resized payload — the oracle recomputes that sum via
+    the nearest-neighbor index arithmetic over the digest-tiled pixels, so
+    a wrong resample (off-by-one stride, channel swap, truncation) fails
+    the value hash."""
     d = _read(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(d)
     resized = multimodal.resize_images(media, target=16)
     return resized.select(
-        "media_id", "width", "height", F.length("payload").cast("int").alias("n_bytes")
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("n_bytes"),
+        "byte_sum",
     )
 
 
 def _q_mm_frames(spark, sf_dir):
-    """Frame-sampling plumbing, oracle-checked on its structure: one row
-    per kept frame per video with the right stride. frame_mean (fake
-    codec output) is pinned by tests/test_multimodal.py instead."""
+    """Frame sampling, oracle-checked on structure AND content: one row
+    per kept frame per video with the right stride, plus the frame's mean
+    pixel value — the per-frame decode seeds on payload || '|frame|' || idx
+    so the oracle rebuilds each frame digest with md5() and recomputes the
+    mean in closed form."""
     d = _read(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(d)
-    return multimodal.sample_frames(media, every=2).select("media_id", "frame_idx")
+    return multimodal.sample_frames(media, every=2).select(
+        "media_id", "frame_idx", F.round("frame_mean", 6).alias("frame_mean")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -966,6 +989,49 @@ def oracle_sql() -> dict[str, str]:
         # connected components, HLSH) — plans/oracles.py
         **oracles.pprl_oracles(CFG, rs_size=CFG.rs_size_override),
         "dedup_simhash": oracles.simhash_oracle(max_hamming=3),
+        # mm_* value oracles: the fake codec decodes payload -> md5 digest
+        # tiled over the w*h*3 pixel buffer, so every feature is a closed
+        # form over the 16 digest bytes (dl). q full tiles + r remainder
+        # bytes; mean = (q*S + prefix_r)/n with the same IEEE ops as numpy.
+        "mm_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     octet_length(encode(text)) AS plen,
+                     CAST(doc_id % 16 * 8 + 32 AS BIGINT) AS w,
+                     CAST(doc_id % 9 * 8 + 32 AS BIGINT) AS h,
+                     list_transform(range(16), i ->
+                       ('0x' || substr(md5(text), CAST(2*i + 1 AS INT), 2))::BIGINT
+                     ) AS dl
+              FROM documents
+            ), f1 AS (
+              SELECT media_id, kind, plen, dl, w*h*3 AS n,
+                     (w*h*3) // 16 AS q, CAST((w*h*3) % 16 AS INT) AS r,
+                     list_sum(dl) AS s,
+                     list_sum(list_transform(dl, x -> x*x)) AS s2,
+                     list_transform(range(64), k ->
+                       dl[CAST((3 * ((k*w*h) // 64)) % 16 AS INT) + 1]
+                     ) AS samples
+              FROM m
+            ), f2 AS (
+              SELECT media_id, kind, plen, n, samples,
+                     q*s  + COALESCE(list_sum(list_slice(dl, 1, r)), 0) AS bsum,
+                     q*s2 + COALESCE(list_sum(
+                       list_transform(list_slice(dl, 1, r), x -> x*x)), 0) AS bsq,
+                     list_sum(samples) AS total
+              FROM f1
+            )
+            SELECT media_id, kind, CAST(plen AS INT) AS n_bytes,
+                   round(bsum / n, 6) AS mean,
+                   round(sqrt(greatest(0, bsq / n - (bsum / n) * (bsum / n))), 6)
+                     AS std,
+                   CAST(COALESCE(list_sum(list_transform(range(63), k ->
+                     CASE WHEN samples[CAST(k AS INT) + 1] * 64 > total
+                          THEN 1::BIGINT << CAST(k AS INT) ELSE 0::BIGINT END
+                   )), 0) AS BIGINT) AS phash
+            FROM f2
+        """,
         "mm_inventory": """
             SELECT doc_id AS media_id,
                    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
@@ -1001,15 +1067,48 @@ def oracle_sql() -> dict[str, str]:
             FROM m LEFT JOIN bs USING (media_id)
         """,
         "mm_resize": """
-            SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS width,
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CAST(doc_id % 16 * 8 + 32 AS BIGINT) AS w,
+                     CAST(doc_id % 9 * 8 + 32 AS BIGINT) AS h,
+                     list_transform(range(16), i ->
+                       ('0x' || substr(md5(text), CAST(2*i + 1 AS INT), 2))::BIGINT
+                     ) AS dl
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT media_id, CAST(16 AS INTEGER) AS width,
                    CAST(16 AS INTEGER) AS height,
-                   CAST(16 * 16 * 3 AS INTEGER) AS n_bytes
-            FROM documents WHERE doc_id % 3 = 0
+                   CAST(16 * 16 * 3 AS INTEGER) AS n_bytes,
+                   CAST(list_sum(flatten(list_transform(range(16), y ->
+                     list_transform(range(16), x ->
+                         dl[CAST(((((y*h) // 16)*w + (x*w) // 16)*3 + 0) % 16 AS INT) + 1]
+                       + dl[CAST(((((y*h) // 16)*w + (x*w) // 16)*3 + 1) % 16 AS INT) + 1]
+                       + dl[CAST(((((y*h) // 16)*w + (x*w) // 16)*3 + 2) % 16 AS INT) + 1]
+                     )))) AS BIGINT) AS byte_sum
+            FROM m
         """,
         "mm_frames": """
-            SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx
-            FROM (SELECT doc_id, unnest(range(0, CAST(doc_id % 7 + 2 AS INT), 2)) AS f
-                  FROM documents WHERE doc_id % 3 = 2)
+            WITH v AS (
+              SELECT doc_id AS media_id, text,
+                     CAST(doc_id % 16 * 8 + 32 AS BIGINT) AS w,
+                     CAST(doc_id % 9 * 8 + 32 AS BIGINT) AS h,
+                     unnest(range(0, CAST(doc_id % 7 + 2 AS BIGINT), 2)) AS f
+              FROM documents WHERE doc_id % 3 = 2
+            ), fd AS (
+              SELECT media_id, f, w*h*3 AS n, (w*h*3) // 16 AS q,
+                     CAST((w*h*3) % 16 AS INT) AS r,
+                     list_transform(range(16), i ->
+                       ('0x' || substr(
+                          md5(text || '|frame|' || CAST(f AS VARCHAR)),
+                          CAST(2*i + 1 AS INT), 2))::BIGINT
+                     ) AS dl
+              FROM v
+            )
+            SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+                   round((q*list_sum(dl)
+                          + COALESCE(list_sum(list_slice(dl, 1, r)), 0)) / n, 6)
+                     AS frame_mean
+            FROM fd
         """,
         "ann_lsh_topk": oracles.ann_lsh_oracle(dim=64, num_planes=8, k=5, seed=42),
         "emb_lsh_near_pairs": oracles.lsh_near_pairs_oracle(

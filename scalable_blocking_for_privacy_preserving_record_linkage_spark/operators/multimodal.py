@@ -70,11 +70,16 @@ def _decode_backend():
 
 
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for a decoded image: seed a PRNG from the
-    payload digest. Same payload -> same 'pixels' on every executor."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    """Deterministic stand-in for a decoded image: the md5 digest of the
+    payload tiled to fill the pixel buffer. Same payload -> same 'pixels'
+    on every executor, AND every derived feature (mean/std/phash/resize
+    byte sums) is a closed-form function of the 16 digest bytes — so the
+    DuckDB driver oracle can value-check the whole feature path from
+    ``md5(payload)`` hex without decoding anything."""
+    digest = hashlib.md5(payload).digest()
+    n = width * height * 3
+    reps = -(-n // len(digest))
+    return np.frombuffer((digest * reps)[:n], dtype=np.uint8).reshape(height, width, 3)
 
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -116,6 +121,14 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     Output: (media_id, kind, n_bytes, mean, std, phash). The decode is the
     fake backend; everything around it (batch shape, schema, partition
     behavior) is production plumbing.
+
+    mean/std are computed from exact integer pixel sums (then one float
+    division / sqrt), and phash compares integer samples against the
+    integer sample-total (``sample*64 > total`` instead of
+    ``sample > total/64``) — so the DuckDB oracle reproduces bit-identical
+    IEEE results from the same closed forms over the md5 digest bytes.
+    phash: sign bits of 64 evenly-strided channel-0 samples vs their mean
+    (a downsample-and-threshold perceptual-hash stand-in), low 63 bits.
     """
     assert _decode_backend() == "fakecodec"
 
@@ -133,13 +146,21 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
             for i, (payload, meta) in enumerate(zip(pdf["payload"], pdf["meta"])):
                 w, h = int(meta["width"]), int(meta["height"])
                 px = _fake_pixels(bytes(payload), w, h)
+                npx = px.size
+                s = int(px.sum(dtype=np.int64))
+                s2 = int((px.astype(np.int64) ** 2).sum())
+                mean = s / npx
                 out["n_bytes"][i] = len(payload)
-                out["mean"][i] = float(px.mean())
-                out["std"][i] = float(px.std())
-                # perceptual-hash stand-in: sign bits of 8x8 block means
-                blocks = px[: h - h % 8, : w - w % 8, 0].reshape(8, (h - h % 8) // 8, 8, -1).mean(axis=(1, 3))
-                bits = (blocks > blocks.mean()).flatten()[:63]
-                out["phash"][i] = int(sum(int(b) << j for j, b in enumerate(bits)))
+                out["mean"][i] = mean
+                out["std"][i] = float(np.sqrt(max(0.0, s2 / npx - mean * mean)))
+                flat_c0 = px.reshape(-1, 3)[:, 0]
+                idx = (np.arange(64) * (w * h)) // 64
+                samples = flat_c0[idx].astype(np.int64)
+                total = int(samples.sum())
+                bits = samples[:63] * 64 > total
+                out["phash"][i] = int(
+                    sum(int(b) << j for j, b in enumerate(bits))
+                )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, schema=_FEATURE_SCHEMA)
@@ -190,12 +211,20 @@ def payload_byte_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, schema=_BYTESTATS_SCHEMA)
 
 
-_RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
+_RESIZE_SCHEMA = (
+    "media_id long, width int, height int, payload binary, byte_sum long"
+)
 
 
 def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
     """Resize the image payloads to ``target`` x ``target`` (fake decode ->
-    nearest-neighbor sample -> re-encode as raw RGB bytes)."""
+    nearest-neighbor sample -> re-encode as raw RGB bytes).
+
+    ``byte_sum`` is the integer sum of the RESIZED payload bytes, computed
+    from the output array inside the kernel — the DuckDB oracle recomputes
+    it from the closed form over the md5 digest (nearest-neighbor index
+    arithmetic), value-checking the actual resample content, not just the
+    output dimensions."""
     assert _decode_backend() == "fakecodec"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -214,8 +243,19 @@ def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
                 yi = (np.arange(target) * h // target).clip(0, h - 1)
                 xi = (np.arange(target) * w // target).clip(0, w - 1)
                 resized = px[np.ix_(yi, xi)]
-                rows.append((int(mid), target, target, resized.tobytes()))
-            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
+                rows.append(
+                    (
+                        int(mid),
+                        target,
+                        target,
+                        resized.tobytes(),
+                        int(resized.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "payload", "byte_sum"],
+            )
 
     return media.mapInPandas(fn, schema=_RESIZE_SCHEMA)
 
@@ -238,12 +278,16 @@ def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
                 w, h = int(meta["width"]), int(meta["height"])
                 nf = int(meta["n_frames"])
                 for f_idx in range(0, nf, every):
+                    # ASCII frame suffix so the oracle can rebuild the
+                    # per-frame digest as md5(text || '|frame|' || idx)
                     frame = _fake_pixels(
-                        bytes(payload) + f_idx.to_bytes(4, "big"), w, h
+                        bytes(payload) + f"|frame|{f_idx}".encode(), w, h
                     )
                     ids.append(int(mid))
                     idxs.append(f_idx)
-                    means.append(float(frame.mean()))
+                    # exact integer sum then one float division — same IEEE
+                    # ops as the oracle's closed form over the digest bytes
+                    means.append(int(frame.sum(dtype=np.int64)) / frame.size)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_mean": means})
 
     return media.mapInPandas(fn, schema=_FRAME_SCHEMA)
