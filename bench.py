@@ -124,7 +124,7 @@ def main() -> None:
     timings["pprl_e2e"] = time.time() - t0
 
     # --- analytics / dedup / similarity headliners ---
-    qmap = entrymod.queries()
+    qmap = {**entrymod.queries(), **entrymod.extra_queries()}
     for name in BENCH_QUERIES:
         t0 = time.time()
         force(qmap[name](spark, sf_dir))

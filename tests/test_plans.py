@@ -93,8 +93,9 @@ def test_global_topk_is_take_ordered_not_global_window(spark):
     The rank window that remains runs over the bounded k-row result."""
     import __spark_entry__ as entrymod
 
+    qmap = {**entrymod.queries(), **entrymod.extra_queries()}
     for name in ("rel_topk", "rel_q3_shipping"):
-        df = entrymod.queries()[name](spark, SF)
+        df = qmap[name](spark, SF)
         plan = plan_of(df)
         assert "TakeOrderedAndProject" in plan, name
 
