@@ -129,11 +129,17 @@ def _load_party_csv(
     db_size: int | None,
     sample_fraction: float | None,
 ) -> DataFrame:
-    """SQLData's positional CSV projection + null filter + limit/sample."""
+    """SQLData's positional CSV projection + null filter + limit/sample.
+
+    Reference parity (SQLData.java:21-29): limit(DB_SIZE) applies
+    UNCONDITIONALLY there (the .sample call is dormant), so when both a
+    sample fraction and a DB size are given we compose them — sample
+    first, then cap at db_size — rather than letting the sample replace
+    the cap and load an unbounded fraction of a huge file."""
     df = spark.read.format("csv").load(path)
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=4)
-    elif db_size:
+    if db_size:
         df = df.limit(db_size)
     positional = ["_c0", "_c1", "_c2", "_c5"]
     cols = [F.col(positional[0]).alias(cfg.id_col)] + [

@@ -45,6 +45,7 @@ def ngram_contamination(
     text_col: str = "text",
     n: int = 13,
     min_hits: int = 1,
+    broadcast_benchmark: bool | None = None,
 ) -> DataFrame:
     """One row per corpus doc: (doc_id, total_grams, n_hits, contaminated).
 
@@ -52,6 +53,14 @@ def ngram_contamination(
     how many of them appear anywhere in the benchmark; ``contaminated``
     is the ``n_hits >= min_hits`` drop verdict. Docs shorter than one
     n-gram report 0/0/false.
+
+    ``broadcast_benchmark``: None (default) leaves the join strategy to
+    Catalyst/AQE — a typical eval suite's distinct grams fit the
+    broadcast threshold and AQE picks a broadcast join at runtime, while
+    a huge benchmark degrades gracefully to a shuffled equi-join instead
+    of slamming into the 8 GB broadcast limit. True forces the hint for
+    cases where the optimizer under-estimates (e.g. an un-analyzed view
+    over a known-small suite).
     """
     bench_grams = (
         _gram_hashes(benchmark, id_col, text_col, n)
@@ -62,9 +71,10 @@ def ngram_contamination(
     exploded = corpus_grams.select(
         "id", F.size("_hg").alias("total_grams"), F.explode_outer("_hg").alias("gram")
     )
-    hits = exploded.join(
-        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left_outer"
-    )
+    bench_side = bench_grams.withColumn("_hit", F.lit(1))
+    if broadcast_benchmark:
+        bench_side = F.broadcast(bench_side)
+    hits = exploded.join(bench_side, "gram", "left_outer")
     return (
         hits.groupBy("id", "total_grams")
         .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"))

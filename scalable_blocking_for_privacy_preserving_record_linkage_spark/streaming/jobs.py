@@ -198,11 +198,15 @@ def dedup_stream_against(
         F.col("doc_id") != F.col("dup_of")
     )
     c = F.size(F.array_intersect("g_new", "g_old"))
-    verified = joined.select(
+    # threshold on the UNROUNDED ratio (round only the projected output) —
+    # identical semantics to batch canonical_docs and the DuckDB oracle; a
+    # pair within 5e-7 below the threshold must not sneak in via rounding
+    jac = c / (F.size("g_new") + F.size("g_old") - c)
+    verified = joined.where(jac >= verify_threshold).select(
         "doc_id",
         "dup_of",
-        F.round(c / (F.size("g_new") + F.size("g_old") - c), 6).alias("jaccard"),
-    ).where(F.col("jaccard") >= verify_threshold)
+        F.round(jac, 6).alias("jaccard"),
+    )
     if verified.isStreaming:
         return (
             verified.withColumn("_arrival_ts", F.current_timestamp())
