@@ -98,36 +98,52 @@ def simhash_udf(num_bits: int = 64):
 
     Per token: 64-bit md5-derived fingerprint; per bit: +1 if set else -1,
     summed over tokens; simhash bit = sign. Returns bigint.
+
+    Fully bulk-numpy accumulation: tokens flatten into one array, md5 runs
+    ONCE per distinct token (memoized across Arrow batches), the per-token
+    ±1 bit rows come from one broadcasted shift of the unique fingerprint
+    vector, and per-doc sums are chunked ``np.add.at`` scatters — no
+    Python statement executes per token occurrence.
     """
+
+    bit_idx = np.arange(num_bits, dtype=np.uint64)
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        memo: dict[str, np.ndarray] = {}
+        memo: dict[str, int] = {}
 
-        def token_bits(tok: str) -> np.ndarray:
-            hit = memo.get(tok)
-            if hit is None:
-                d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
-                v = int.from_bytes(d, "big")
-                hit = np.array([(v >> b) & 1 for b in range(num_bits)], dtype=np.int64)
-                memo[tok] = hit
-            return hit
+        def token_val(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                memo[tok] = v
+            return v
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = t.split()
-            if not toks:
-                continue
-            acc = np.zeros(num_bits, dtype=np.int64)
-            for tok in toks:
-                acc += token_bits(tok) * 2 - 1
-            bits = (acc > 0).astype(np.uint64)
-            v = 0
-            for b in range(num_bits):
-                v |= int(bits[b]) << b
-            out[i] = v - (1 << 64) if v >= (1 << 63) else v
+        n = len(texts)
+        tok_lists = [t.split() if t else [] for t in texts]
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        flat = [tok for toks in tok_lists for tok in toks]
+        out = np.zeros(n, dtype=np.int64)
+        if flat:
+            uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+            vals = np.fromiter(
+                (token_val(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+            )
+            # (U, num_bits) rows of ±1 — one per DISTINCT token
+            pm1 = (
+                ((vals[:, None] >> bit_idx[None, :]) & 1).astype(np.int16) * 2 - 1
+            )
+            doc_idx = np.repeat(np.arange(n), counts)
+            acc = np.zeros((n, num_bits), dtype=np.int64)
+            chunk = 1 << 17  # bound the (tokens, num_bits) gather to ~16 MB
+            for s in range(0, len(doc_idx), chunk):
+                np.add.at(acc, doc_idx[s : s + chunk], pm1[inv[s : s + chunk]])
+            packed = (
+                ((acc > 0).astype(np.uint64) << bit_idx[None, :])
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            out = np.where(counts > 0, packed, 0)
         return pd.Series(out)
 
     return _simhash
