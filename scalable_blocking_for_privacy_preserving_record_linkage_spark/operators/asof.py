@@ -10,14 +10,24 @@ Scale shape: NO join at all — both sides are tagged, unioned, and
 resolved with ONE window over a single hash(by) exchange (last
 non-null right payload over rows-between-unbounded-preceding). That is
 one shuffle of left+right, versus the naive range-join which explodes
-every (left, right-earlier) pair before aggregating the max. Per-key
-ordering is inherent to as-of semantics, so a pathologically hot key
-serializes into one task — the same caveat every engine's as-of has;
-pre-filter or bucket hot keys upstream if the key histogram is
-degenerate.
+every (left, right-earlier) pair before aggregating the max.
+
+Hot keys: per-key ordering is inherent to as-of semantics, so the plain
+window serializes a pathologically hot ``by`` key into one task. Pass
+``bucket_width_seconds`` to switch to the SALTED TWO-PHASE variant: the
+timeline splits into fixed buckets, phase 1 pre-aggregates the right
+side to one "latest in bucket" summary per (key, bucket) and computes
+each bucket's carry-in (the latest right row from all EARLIER buckets)
+with a window over the tiny summary table (rows = occupied buckets per
+key, not events per key), and phase 2 runs the union+window partitioned
+by (key, bucket) — a hot key now spreads across as many tasks as it has
+occupied buckets, with identical output (equivalence + skew tests in
+tests/test_asof.py).
 
 Determinism: ties at identical (by, time) on the right side resolve by
-the largest payload struct (documented total order), not arrival order.
+the largest payload struct (documented total order), not arrival order —
+in both variants (the bucket summary takes max(struct(time, payload)),
+the same total order the window's last() resolves to).
 """
 
 from __future__ import annotations
@@ -34,14 +44,17 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     tolerance_seconds: float | None = None,
+    bucket_width_seconds: float | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join; unmatched left rows keep nulls.
 
     ``right_cols`` limits the attached payload (default: all non-key
     right columns). ``tolerance_seconds`` drops matches older than the
     window (null attach instead), like pandas ``merge_asof`` tolerance.
-    Output: every left column, then ``{on}{suffix}`` plus each right
-    payload column as ``{col}{suffix}``.
+    ``bucket_width_seconds`` enables the hot-key-safe two-phase plan
+    (see module docstring); pick a width that gives a hot key tens-to-
+    hundreds of occupied buckets. Output: every left column, then
+    ``{on}{suffix}`` plus each right payload column as ``{col}{suffix}``.
     """
     bys = list(by)
     rcols = right_cols or [c for c in right.columns if c not in bys + [on]]
@@ -66,19 +79,76 @@ def asof_join(
         F.lit(None).cast(lp_type).alias("_lp"),
         r_payload.alias("_rp"),
     )
-    # right rows sort BEFORE left rows at equal time (_src desc), so the
-    # running last() is backward-INCLUSIVE (l.t >= r.t), matching
-    # ANSI/DuckDB ASOF JOIN; _rp is the deterministic same-time tiebreak
-    w = (
-        Window.partitionBy(*bys)
-        .orderBy(F.col("_t").asc(), F.col("_src").desc(), F.col("_rp").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        l_t.unionByName(r_t)
-        .withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
-        .where(F.col("_src") == 0)
-    )
+
+    if bucket_width_seconds is None:
+        # right rows sort BEFORE left rows at equal time (_src desc), so
+        # the running last() is backward-INCLUSIVE (l.t >= r.t), matching
+        # ANSI/DuckDB ASOF JOIN; _rp is the deterministic same-time tiebreak
+        w = (
+            Window.partitionBy(*bys)
+            .orderBy(F.col("_t").asc(), F.col("_src").desc(), F.col("_rp").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            l_t.unionByName(r_t)
+            .withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+            .where(F.col("_src") == 0)
+        )
+    else:
+        bkt = F.floor(F.col("_t").cast("double") / float(bucket_width_seconds)).cast(
+            "long"
+        )
+        l_b = l_t.withColumn("_bkt", bkt)
+        r_b = r_t.withColumn("_bkt", bkt)
+        # phase 1: one summary row per occupied (key, bucket) on the right;
+        # max of (time, payload) struct == the window tiebreak's total order
+        summ = r_b.groupBy(*bys, "_bkt").agg(
+            F.max(F.struct(F.col("_t"), F.col("_rp"))).alias("_last")
+        )
+        occupied = (
+            l_b.select(*bys, "_bkt").union(r_b.select(*bys, "_bkt")).distinct()
+        )
+        w_carry = (
+            Window.partitionBy(*bys)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_rows = (
+            occupied.join(summ, bys + ["_bkt"], "left_outer")
+            .withColumn("_carry", F.max("_last").over(w_carry))
+            .where(F.col("_carry").isNotNull())
+            .select(
+                *bys,
+                "_bkt",
+                F.lit(None).cast(l_t.schema["_t"].dataType).alias("_t"),
+                F.lit(1).alias("_src"),
+                F.lit(None).cast(lp_type).alias("_lp"),
+                F.col("_carry._rp").alias("_rp"),
+                F.lit(1).alias("_is_carry"),
+            )
+        )
+        flag = lambda df: df.withColumn("_is_carry", F.lit(0))  # noqa: E731
+        # phase 2: the same union+window, but partitioned by (key, BUCKET)
+        # — the carry row sorts first in every bucket, so the running
+        # last() seeds from the pre-bucket state
+        w = (
+            Window.partitionBy(*bys, "_bkt")
+            .orderBy(
+                F.col("_is_carry").desc(),
+                F.col("_t").asc(),
+                F.col("_src").desc(),
+                F.col("_rp").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            flag(l_b)
+            .unionByName(flag(r_b))
+            .unionByName(carry_rows)
+            .withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+            .where(F.col("_src") == 0)
+        )
+
     if tolerance_seconds is not None:
         within = (
             F.col("_t").cast("double") - F.col("_m._r_on").cast("double")
@@ -88,6 +158,6 @@ def asof_join(
         )
     return matched.select(
         *[F.col(f"_lp.{c}").alias(c) for c in left.columns],
-        F.col(f"_m._r_on").alias(f"{on}{suffix}"),
+        F.col("_m._r_on").alias(f"{on}{suffix}"),
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in rcols],
     )

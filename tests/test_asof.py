@@ -56,3 +56,77 @@ def test_single_shuffle_no_join_in_plan(spark):
     plan = asof.asof_join(left, right, on="ts", by=("user_id",))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # resolved by union + window, never a join
     assert plan.count("Exchange") <= 2  # one hash exchange per input branch
+
+
+def _random_fixture(spark, n_left=300, n_right=200, hot_frac=0.0, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    keys = [f"u{i}" for i in range(10)]
+
+    def key():
+        return keys[0] if rnd.random() < hot_frac else rnd.choice(keys)
+
+    left = spark.createDataFrame(
+        [(i, float(rnd.randint(0, 5000)), key()) for i in range(n_left)],
+        "event_id long, ts double, user_id string",
+    )
+    right = spark.createDataFrame(
+        [(key(), float(rnd.randint(0, 5000)), f"t{i}") for i in range(n_right)],
+        "user_id string, ts double, tag string",
+    )
+    return left, right
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bucketed_variant_equals_plain(spark):
+    left, right = _random_fixture(spark)
+    plain = asof.asof_join(left, right, on="ts", by=("user_id",))
+    for width in (100.0, 997.0, 10_000.0):  # incl. one bucket >> range
+        bucketed = asof.asof_join(
+            left, right, on="ts", by=("user_id",), bucket_width_seconds=width
+        )
+        assert _collect_sorted(bucketed) == _collect_sorted(plain), width
+
+
+def test_bucketed_variant_equals_plain_with_tolerance(spark):
+    left, right = _random_fixture(spark, seed=11)
+    plain = asof.asof_join(
+        left, right, on="ts", by=("user_id",), tolerance_seconds=300.0
+    )
+    bucketed = asof.asof_join(
+        left, right, on="ts", by=("user_id",),
+        tolerance_seconds=300.0, bucket_width_seconds=250.0,
+    )
+    assert _collect_sorted(bucketed) == _collect_sorted(plain)
+
+
+def test_bucketed_hot_key_splits_across_tasks(spark):
+    """One key carrying 90% of rows must NOT serialize into a single
+    window task: the big window partitions by (key, bucket), so the hot
+    key's rows spread across its occupied buckets. The per-key serial
+    remainder is only the bucket-summary carry window (rows = occupied
+    buckets, not events)."""
+    left, right = _random_fixture(spark, n_left=2000, n_right=1000, hot_frac=0.9)
+    bucketed = asof.asof_join(
+        left, right, on="ts", by=("user_id",), bucket_width_seconds=500.0
+    )
+    plain = asof.asof_join(left, right, on="ts", by=("user_id",))
+    assert _collect_sorted(bucketed) == _collect_sorted(plain)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    # the event-scale window must be keyed by (user_id, _bkt)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("user_id" in s and "_bkt" in s for s in specs), specs
+    # hot-key rows actually land in many distinct window partitions
+    n_parts = (
+        left.where("user_id = 'u0'")
+        .select((F.floor(F.col("ts") / 500.0)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_parts >= 5
