@@ -45,6 +45,23 @@ def encode_blooms(records: DataFrame, cfg: PPRLConfig) -> DataFrame:
 def _attach_blooms(pairs: DataFrame, blooms: DataFrame, cfg: PPRLConfig) -> DataFrame:
     """(record1, record2) × blooms -> the two attach-joins: record1 takes
     the Alice-side filters, record2 the Bob-side (MetaBlocking.java:37-41)."""
+    blooms_a, blooms_b = split_blooms(blooms, cfg)
+    if cfg.broadcast_blooms:
+        blooms_a, blooms_b = F.broadcast(blooms_a), F.broadcast(blooms_b)
+    return attach_blooms_presplit(pairs, blooms_a, blooms_b)
+
+
+def split_blooms(blooms: DataFrame, cfg: PPRLConfig) -> tuple[DataFrame, DataFrame]:
+    """Pre-split the bloom table into the two attach-join sides (Alice
+    keyed as ``record1``, Bob as ``record2``) with the bloomA_*/bloomB_*
+    column names ``score_joined`` expects.
+
+    This is the projection to PERSIST as two bucketed catalog tables
+    (Iceberg ``bucket(N, record1)`` / ``bucket(N, record2)``, or the
+    parquet stand-in in ``sources/catalog.py``): each attach-join then
+    reads co-located buckets and carries no Exchange on the bloom side —
+    only the candidate-pair stream shuffles. ``attach_blooms_presplit``
+    consumes the reread tables; plan gate in tests/test_plans.py."""
     n = cfg.num_attrs
     blooms_a = blooms.where(F.col("party") == "A").select(
         F.col("recordID").alias("record1"),
@@ -56,8 +73,15 @@ def _attach_blooms(pairs: DataFrame, blooms: DataFrame, cfg: PPRLConfig) -> Data
         *[F.col(f"bloom_{i+1}").alias(f"bloomB_{i+1}") for i in range(n)],
         *[F.col(f"card_{i+1}").alias(f"cardB_{i+1}") for i in range(n)],
     )
-    if cfg.broadcast_blooms:
-        blooms_a, blooms_b = F.broadcast(blooms_a), F.broadcast(blooms_b)
+    return blooms_a, blooms_b
+
+
+def attach_blooms_presplit(
+    pairs: DataFrame, blooms_a: DataFrame, blooms_b: DataFrame
+) -> DataFrame:
+    """The two attach-joins against pre-split (typically bucketed-table)
+    bloom sides from ``split_blooms`` — same join shape as
+    ``_attach_blooms`` minus the per-run party filter/rename."""
     return pairs.join(blooms_a, "record1", "inner").join(blooms_b, "record2", "inner")
 
 

@@ -39,7 +39,7 @@ def wait_for_quiet(max_load: float = 1.2, timeout_s: int = 1800) -> float:
     return os.getloadavg()[0]
 
 
-def run_one(cpus: int, inflate: int, submit: bool) -> dict:
+def run_one(cpus: int, inflate: int, submit: bool, bucketed: bool = False) -> dict:
     load = wait_for_quiet()
     if submit:
         cmd = [os.path.join(ROOT, "scripts", "submit.sh"),
@@ -48,6 +48,8 @@ def run_one(cpus: int, inflate: int, submit: bool) -> dict:
     else:
         cmd = [sys.executable, os.path.join(ROOT, "scripts", "scaling_bench.py"),
                "--cpus", str(cpus), "--inflate", str(inflate)]
+    if bucketed:
+        cmd.append("--bucketed-blooms")
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=2700)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
@@ -66,6 +68,13 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3,
                     help="runs per level; min wall is kept (the box carries "
                          "unrelated background load)")
+    ap.add_argument("--bucketed-blooms", action="store_true",
+                    help="variant campaign: attach-joins read pre-bucketed "
+                         "bloom tables (untimed encode+write at setup). "
+                         "Writes BENCH/bucketed_campaign.json instead of "
+                         "rewriting BASELINE.md — the headline stays the "
+                         "full-pipeline measurement; this variant is the "
+                         "disclosed shuffle-elimination evidence.")
     args = ap.parse_args()
 
     n, n4 = args.n, 4 * args.n
@@ -75,8 +84,8 @@ def main() -> None:
     # noise-robust statistic on a shared box
     small_runs, big_runs = [], []
     for _ in range(args.trials):
-        small_runs.append(run_one(n, args.inflate, args.submit))
-        big_runs.append(run_one(n4, args.inflate, args.submit))
+        small_runs.append(run_one(n, args.inflate, args.submit, args.bucketed_blooms))
+        big_runs.append(run_one(n4, args.inflate, args.submit, args.bucketed_blooms))
     r_small = min(small_runs, key=lambda r: r["wall_sec"])
     r_big = min(big_runs, key=lambda r: r["wall_sec"])
     eff = (r_small["wall_sec"] / r_big["wall_sec"]) / 4.0
@@ -86,6 +95,23 @@ def main() -> None:
     )
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    if args.bucketed_blooms:
+        payload = {
+            "efficiency": round(eff, 3),
+            "n": r_small,
+            "n4": r_big,
+            "small_runs": small_runs,
+            "big_runs": big_runs,
+            "generated": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(timespec="seconds"),
+        }
+        path = os.path.join(ROOT, "BENCH", "bucketed_campaign.json")
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps({"efficiency": round(eff, 3), "n": r_small, "n4": r_big}))
+        print(f"wrote {path}")
+        return
     launcher = "spark-submit --py-files (scripts/submit.sh)" if args.submit else "python"
     md = f"""# BENCH/BASELINE — measured scaling evidence
 

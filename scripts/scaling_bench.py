@@ -78,6 +78,16 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--inflate", type=int, default=4)
+    ap.add_argument(
+        "--bucketed-blooms",
+        action="store_true",
+        help="read the CLK bloom sides from pre-bucketed catalog tables "
+        "(Iceberg bucket(N, recordID) stand-in, sources/catalog.py): the "
+        "two Dice attach-joins then carry no Exchange on the bloom side. "
+        "Encode+write happens in setup, OUTSIDE the timed window — on a "
+        "deployment the CLK table is maintained at ingest, not re-encoded "
+        "per linkage run.",
+    )
     args = ap.parse_args()
 
     # shuffle partition count scales with DATA and is IDENTICAL at both
@@ -113,6 +123,49 @@ def main() -> None:
     rs = testdata.reference_sets_from_records(records, cfg)
     samples = classify.build_reference_samples(rs, cfg, max(party_counts.values()))
 
+    # --bucketed-blooms setup (untimed, like the input materialization):
+    # encode the CLK table once and persist BOTH attach-join sides as
+    # catalog tables hash-bucketed on their join key, numBuckets equal to
+    # the (data-sized, level-invariant) shuffle partition count
+    blooms_ab = None
+    if args.bucketed_blooms:
+        from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import (
+            catalog,
+        )
+
+        raw_a, raw_b = matching.split_blooms(
+            matching.encode_blooms(normalized, cfg), cfg
+        )
+        catalog.write_bucketed_table(
+            raw_a, "pprl_scale_blooms_a", ["record1"], shuffle_parts, ["record1"]
+        )
+        catalog.write_bucketed_table(
+            raw_b, "pprl_scale_blooms_b", ["record2"], shuffle_parts, ["record2"]
+        )
+        blooms_ab = (
+            spark.table("pprl_scale_blooms_a"),
+            spark.table("pprl_scale_blooms_b"),
+        )
+
+    def stats_for(cand, recs):
+        """match_stats over either the in-flight bloom encode (headline
+        mode) or the pre-bucketed catalog tables (--bucketed-blooms)."""
+        if blooms_ab is not None:
+            scored = matching.score_joined(
+                matching.attach_blooms_presplit(cand, *blooms_ab),
+                cfg,
+                unfiltered=True,
+            )
+            return scored.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.count(
+                    F.when(
+                        F.col("matched_fields") >= cfg.matches_to_accept, 1
+                    )
+                ).alias("n_matches"),
+            )
+        return matching.match_stats(cand, matching.encode_blooms(recs, cfg), cfg)
+
     # warm-up OUTSIDE the timed window: run the identical stage chain on a
     # tiny slice so whole-stage-codegen compilation and Python UDF worker
     # spin-up happen once, before measurement.  A real cluster measures
@@ -123,7 +176,7 @@ def main() -> None:
     wc = classify.classify(spark, warm, samples, cfg)
     we = blocking.purge_blocks(blocking.block_ids(wc, cfg), cfg)
     wcand = window.candidate_pairs(we, cfg)
-    matching.match_stats(wcand, matching.encode_blooms(warm, cfg), cfg).collect()
+    stats_for(wcand, warm).collect()
     warm.unpersist()
 
     # timed: the distributed pipeline compute (classify -> block -> window
@@ -137,8 +190,7 @@ def main() -> None:
     classified = classify.classify(spark, normalized, samples, cfg)
     elements = blocking.purge_blocks(blocking.block_ids(classified, cfg), cfg)
     candidates = window.candidate_pairs(elements, cfg)
-    blooms = matching.encode_blooms(normalized, cfg)
-    row = matching.match_stats(candidates, blooms, cfg).collect()[0]
+    row = stats_for(candidates, normalized).collect()[0]
     pairs, matches = row["n_candidates"], row["n_matches"]
     wall = time.time() - t0
     phases["e2e_single_action"] = round(wall, 3)
@@ -146,6 +198,7 @@ def main() -> None:
     print(json.dumps({
         "cpus": args.cpus,
         "inflate": args.inflate,
+        "bucketed_blooms": bool(args.bucketed_blooms),
         "sf_dir": args.sf_dir,
         "wall_sec": round(wall, 3),
         "pairs_scored": pairs,
