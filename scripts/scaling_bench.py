@@ -133,6 +133,17 @@ def main() -> None:
             catalog,
         )
 
+        # the session catalog is in-memory: a previous PROCESS's managed-
+        # table location survives on disk but is unknown to this session,
+        # and saveAsTable refuses to reuse it — clear stale locations first
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in ("pprl_scale_blooms_a", "pprl_scale_blooms_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
         raw_a, raw_b = matching.split_blooms(
             matching.encode_blooms(normalized, cfg), cfg
         )
