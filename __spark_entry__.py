@@ -548,6 +548,7 @@ def _q_text_token_stats(spark, sf_dir):
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
+        tx.bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").alias("text_len"),
         F.when(n > 0, F.round(total_len / n, 4)).otherwise(F.lit(0.0)).alias("avg_token_len"),
     )
@@ -1371,7 +1372,11 @@ def oracle_sql() -> dict[str, str]:
                           ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
               FROM documents
             )
-            SELECT doc_id, len(toks) AS n_tokens, len(text) AS text_len,
+            SELECT doc_id, len(toks) AS n_tokens,
+                   len(regexp_extract_all(
+                     text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9'']+'
+                   )) AS n_bpe_tokens,
+                   len(text) AS text_len,
                    CASE WHEN len(toks) > 0
                         THEN round(list_sum(list_transform(toks, x -> len(x))) / len(toks), 4)
                         ELSE 0.0 END AS avg_token_len

@@ -33,6 +33,21 @@ def token_count_expr(text: Column) -> Column:
     return F.size(tokens_expr(text))
 
 
+# GPT-2-style pre-tokenizer approximation, restricted to syntax shared by
+# Java regex (Spark) and RE2 (DuckDB): common English contractions, then
+# maximal letter / digit / non-space-punctuation runs. The real BPE merge
+# table then splits within these chunks, so this count is the standard
+# cheap upper-anchor for "how many tokens will the tokenizer emit".
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9']+"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """BPE-ish token count (pre-tokenizer chunks, see BPE_TOKEN_RE).
+
+    SQL twin (DuckDB): ``len(regexp_extract_all(text, <re>))``."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def punct_ratio_expr(text: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")

@@ -116,3 +116,23 @@ def test_canonical_url_idempotent(spark):
     once = _canon(spark, urls)
     twice = _canon(spark, once)
     assert once == twice
+
+
+def test_bpe_token_count(spark):
+    cases = {
+        0: ("Hello, world! It's 42.", 8),  # Hello , world ! It 's 42 .
+        1: ("", 0),
+        2: ("   ", 0),
+        3: ("don't can't", 4),  # don 't can 't
+        4: ("abc123", 2),  # letter run + digit run
+    }
+    df = spark.createDataFrame(
+        [(k, t) for k, (t, _) in cases.items()], "i long, t string"
+    )
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", tx.bpe_token_count_expr(F.col("t")).alias("n")
+        ).collect()
+    }
+    assert got == {k: v for k, (_, v) in cases.items()}
