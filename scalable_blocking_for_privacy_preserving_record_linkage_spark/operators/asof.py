@@ -72,7 +72,11 @@ def asof_join(
         l_payload.alias("_lp"),
         F.lit(None).cast(rp_type).alias("_rp"),
     )
-    r_t = right.select(
+    # a null-time right row can never satisfy r.t <= l.t (ANSI/DuckDB ASOF
+    # semantics: null never matches); null-time LEFT rows come through with
+    # a null attach — they sort before every timed row in both variants,
+    # so the running last() sees nothing
+    r_t = right.where(F.col(on).isNotNull()).select(
         *bys,
         F.col(on).alias("_t"),
         F.lit(1).alias("_src"),

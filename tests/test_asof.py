@@ -130,3 +130,25 @@ def test_bucketed_hot_key_splits_across_tasks(spark):
         .count()
     )
     assert n_parts >= 5
+
+
+def test_null_times_never_match(spark):
+    """ANSI/DuckDB ASOF: null never satisfies the inequality. Null-time
+    right rows are dropped; null-time left rows attach nulls — in both
+    the plain and bucketed variants."""
+    left = spark.createDataFrame(
+        [(1, 10.0, "u1"), (2, None, "u1")],
+        "event_id long, ts double, user_id string",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, "bad"), ("u1", 5.0, "ok")],
+        "user_id string, ts double, tag string",
+    )
+    for kw in ({}, {"bucket_width_seconds": 100.0}):
+        out = {
+            r.event_id: r.tag_right
+            for r in asof.asof_join(
+                left, right, on="ts", by=("user_id",), **kw
+            ).collect()
+        }
+        assert out == {1: "ok", 2: None}, kw
