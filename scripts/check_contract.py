@@ -43,8 +43,10 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # the driver grades queries(); the extra_* window gets the identical
+    # compare here (and in tests/test_rel_parity.py)
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
