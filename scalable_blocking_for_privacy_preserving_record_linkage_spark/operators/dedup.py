@@ -382,6 +382,14 @@ def canonical_docs(
     #     joins + array_intersect verify run once per DISTINCT pair (the
     #     same bloom-attach join shape as operators/matching.py — never a
     #     pairs x grams row explosion).
+    # Measured negative results (sf0.1, local[32], min-of-2 — kept so the
+    # obvious "optimizations" aren't retried): dropping the banded
+    # checkpoint (re-deriving bands 3x from checkpointed bases) is ~1 s
+    # SLOWER; slimming the first checkpoint to grams-only (signature
+    # derived in a separate re-shingling branch) is ~0.7 s SLOWER. The
+    # residual wall at small scale is per-job fixed overhead
+    # (higher-order-expression interpretation + scheduler), which
+    # amortizes with input size — see the dedup scaling campaign.
     # Docs shorter than one shingle still get a (singleton) cluster row
     # from the left join below.
     gram_sets = (
