@@ -152,3 +152,52 @@ def test_null_times_never_match(spark):
             ).collect()
         }
         assert out == {1: "ok", 2: None}, kw
+
+
+def test_property_matches_pandas_merge_asof(spark):
+    """Independent oracle: pandas merge_asof (backward, by-key, with and
+    without tolerance) on randomized frames — both the plain and the
+    bucketed variant must agree with it. Right (key, ts) pairs are kept
+    unique so the ordered-tiebreak conventions coincide."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(123)
+    keys = ["a", "b", "c", "d"]
+    seen = set()
+    right_rows = []
+    for i in range(120):
+        k, t = rnd.choice(keys), float(rnd.randint(0, 1000))
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        right_rows.append((k, t, f"tag{i}"))
+    left_rows = [
+        (i, float(rnd.randint(0, 1000)), rnd.choice(keys + ["zzz"]))
+        for i in range(200)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, ts double, user_id string")
+    right = spark.createDataFrame(right_rows, "user_id string, ts double, tag string")
+    lpd = pd.DataFrame(left_rows, columns=["event_id", "ts", "user_id"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["user_id", "ts", "tag"]).sort_values("ts")
+
+    for tol in (None, 50.0):
+        expect = pd.merge_asof(
+            lpd, rpd, on="ts", by="user_id", direction="backward",
+            suffixes=("", "_right"),
+            **({"tolerance": tol} if tol is not None else {}),
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.tag) else r.tag)
+            for r in expect.itertuples()
+        }
+        for kw in ({}, {"bucket_width_seconds": 130.0}):
+            got = {
+                r.event_id: r.tag_right
+                for r in asof.asof_join(
+                    left, right, on="ts", by=("user_id",),
+                    tolerance_seconds=tol, **kw,
+                ).collect()
+            }
+            assert got == want, (tol, kw)
