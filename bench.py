@@ -73,7 +73,10 @@ BENCH_QUERIES = [
     "dedup_canonical",      # LSH -> verify -> iterative CC -> survivors
     "dedup_simhash",        # simhash + hamming self-join
     "text_quality",         # pure-Catalyst text scoring
+    "text_decontaminate",   # 13-gram benchmark decontamination
     "ann_cosine_topk",      # brute-force cosine top-k
+    "ann_ivf_topk",         # IVF inverted-list ANN (the scale path)
+    "mm_bytestats",         # binary-payload Arrow mapInPandas path
     "pprl_hlsh_matches",    # HLSH blocking -> Dice (alt blocking path)
 ]
 

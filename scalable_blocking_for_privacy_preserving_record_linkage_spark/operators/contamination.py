@@ -22,9 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr
+from ..sources.io import ensure_parallelism
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
+    # gram construction is CPU-heavy per row (token window x concat x
+    # hash); a single-file local scan would otherwise run it on one task
+    df = ensure_parallelism(df)
     toks = tokens_expr(F.col(text_col))
     grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
