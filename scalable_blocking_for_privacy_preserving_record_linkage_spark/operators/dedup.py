@@ -393,7 +393,7 @@ def canonical_docs(
     # Docs shorter than one shingle still get a (singleton) cluster row
     # from the left join below.
     gram_sets = (
-        docs.where(F.length(text_col) >= shingle_q)
+        ensure_parallelism(docs).where(F.length(text_col) >= shingle_q)
         .select(
             F.col(id_col).alias("id"),
             F.array_distinct(qgrams_expr(F.col(text_col), shingle_q)).alias("_g"),
