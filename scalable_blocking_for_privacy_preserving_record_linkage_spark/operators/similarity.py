@@ -307,6 +307,52 @@ def lsh_near_pairs(
     )
 
 
+def canonical_embeddings(
+    vectors: DataFrame,
+    dim: int,
+    num_planes: int = 6,
+    threshold: float = 0.3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """END-TO-END embedding-modality dedup — the ``canonical_docs``
+    analogue for the vector column: hyperplane-LSH near pairs (bucket
+    equi-join, exact-cosine verify inside ``lsh_near_pairs``) ->
+    transitive clusters -> canonical survivor per cluster.
+
+    Output: one row PER INPUT VECTOR — (vec_id, cluster_id,
+    cluster_size, is_canonical) with cluster_id = min vec_id of the
+    near-dup component and singletons their own cluster; filtering on
+    ``is_canonical = 1`` yields the deduplicated embedding corpus.
+
+    Scale shape matches canonical_docs: pair generation is the bucketed
+    self-join (never all-pairs), clustering shuffles only (node,
+    component) longs per round, and sizes come from a slim groupBy +
+    join, not a window.
+    """
+    from .clustering import connected_components_edges
+
+    pairs = lsh_near_pairs(
+        vectors, dim, num_planes, threshold, seed, id_col, vec_col
+    ).select("id1", "id2")
+    comp = connected_components_edges(pairs, "id1", "id2")
+    assign = (
+        vectors.select(F.col(id_col).alias("vec_id"))
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left_outer")
+        .select("vec_id", F.coalesce("component", "vec_id").alias("cluster_id"))
+    )
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return assign.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -492,6 +492,52 @@ WHERE round(list_cosine_similarity(l.v, r.v), 6) >= {threshold}
 """
 
 
+def canonical_embeddings_oracle(
+    dim: int, num_planes: int = 6, threshold: float = 0.3, seed: int = 42
+) -> str:
+    """Oracle for the end-to-end embedding dedup: the lsh_near_pairs
+    bucket/verify plan followed by recursive-CTE connected components
+    (min-label, the same convention operators/clustering.py converges
+    to) and the per-vector cluster assignment."""
+    from ..operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, num_planes, seed)
+    bucket_terms = _bucket_terms_sql(planes)
+    return f"""
+WITH RECURSIVE bv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST({bucket_terms} AS BIGINT) AS bucket
+  FROM embeddings
+),
+pairs AS MATERIALIZED (
+  SELECT l.vec_id AS id1, r.vec_id AS id2
+  FROM bv l JOIN bv r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE round(list_cosine_similarity(l.v, r.v), 6) >= {threshold}
+),
+sym AS MATERIALIZED (
+  SELECT id1 AS u, id2 AS v FROM pairs
+  UNION SELECT id2 AS u, id1 AS v FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.v AS node, r.label FROM reach r JOIN sym s ON s.u = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+assign AS (
+  SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS cluster_id
+  FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+),
+csize AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assign GROUP BY cluster_id
+)
+SELECT a.vec_id, a.cluster_id, s.cluster_size,
+       CAST(a.vec_id = a.cluster_id AS INT) AS is_canonical
+FROM assign a JOIN csize s USING (cluster_id)
+"""
+
+
 def pprl_oracles(cfg: PPRLConfig, rs_size: int) -> dict[str, str]:
     """DuckDB oracle SQL for every pprl_* driver query."""
     pre = pipeline_prefix(cfg, rs_size)
