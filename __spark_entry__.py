@@ -731,6 +731,27 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
+def _q_docs_mixture_sample(spark, sf_dir):
+    """Training-mixture weighting: deterministic per-language Bernoulli
+    sampling via a seeded md5 draw per doc_id (reproducible,
+    partition-invariant — unlike DataFrame.sample). Summarized per
+    stratum so the value check pins both the selected SET (id_sum) and
+    the realized rates."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        sampling,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    kept = sampling.weighted_sample(
+        d, {"en": 0.5, "de": 0.25, "fr": 1.0}, key_col="lang",
+        id_col="doc_id", seed=7, default_rate=0.1,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def _q_emb_canonical(spark, sf_dir):
     """End-to-end embedding-modality dedup: LSH near pairs -> exact-cosine
     verify -> transitive clusters -> canonical survivor per vector (the
@@ -964,6 +985,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_join": _q_rel_semi_join,
         "rel_rollup": _q_rel_rollup,
         "emb_canonical": _q_emb_canonical,
+        "docs_mixture_sample": _q_docs_mixture_sample,
     }
 
 
@@ -1692,6 +1714,19 @@ def extra_oracle_sql() -> dict[str, str]:
         "emb_canonical": oracles.canonical_embeddings_oracle(
             dim=64, num_planes=6, threshold=0.3, seed=42
         ),
+        "docs_mixture_sample": """
+            WITH kept AS (
+              SELECT doc_id, lang
+              FROM documents
+              WHERE ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                              WHEN 'fr' THEN 1.0 ELSE 0.1 END
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM kept GROUP BY lang
+        """,
         "rel_join_agg": """
             SELECT c_mktsegment, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS total_price

@@ -1,0 +1,57 @@
+"""Deterministic corpus sampling for training-data mixture weighting.
+
+A pre-training build rarely takes domains/languages at their natural
+rates — it up/down-weights strata ("webtext 0.6x, code 2x, wiki 3x").
+``weighted_sample`` implements the standard scalable form: a per-stratum
+Bernoulli keep-decision driven by a SEEDED HASH of the row id, not an
+RNG — so the sample is exactly reproducible, independent of
+partitioning/execution order, stable under reruns (a row's fate never
+changes when the corpus grows), and SQL-twinnable for the DuckDB
+oracle. Pure Catalyst projection: no shuffle, no UDF, no state.
+
+``spark.DataFrame.sample`` is NOT this: it draws per-partition from an
+RNG stream, so the selected set changes with partitioning and cannot be
+value-checked or replayed per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int_expr
+
+_U32 = float(1 << 32)
+
+
+def sample_uniform_expr(id_col: Column, seed: int) -> Column:
+    """Deterministic uniform [0, 1) draw per id: md5-derived 32-bit
+    integer of ``"{seed}|{id}"`` scaled by 2^-32.
+
+    SQL twin (DuckDB):
+    ``('0x' || substr(md5(seed || '|' || id), 1, 8))::BIGINT / 4294967296.0``.
+    """
+    return md5_int_expr(
+        F.concat(F.lit(f"{seed}|"), id_col.cast("string"))
+    ) / F.lit(_U32)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with probability ``rates[key]`` (``default_rate``
+    for unlisted strata), decided by the seeded per-id hash draw.
+
+    Rates above 1.0 are clamped to keep-all (upsampling/repetition is a
+    separate concern — this operator only thins). Returns the input
+    columns unchanged, filtered.
+    """
+    rate_expr: Column = F.lit(float(default_rate))
+    for k, r in sorted(rates.items()):
+        rate_expr = F.when(F.col(key_col) == k, F.lit(float(r))).otherwise(rate_expr)
+    return docs.where(sample_uniform_expr(F.col(id_col), seed) < rate_expr)

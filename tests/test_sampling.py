@@ -1,0 +1,61 @@
+"""Deterministic mixture sampling: reproducibility, partition
+invariance, rate calibration, and set-growth stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import sampling
+
+
+def _docs(spark, n=4000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_partition_invariant_and_reproducible(spark):
+    d = _docs(spark)
+    rates = {"en": 0.5, "de": 0.2}
+    a = sampling.weighted_sample(d, rates, seed=9)
+    b = sampling.weighted_sample(d.repartition(17), rates, seed=9)
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}  # noqa: E731
+    assert ids(a) == ids(b)
+    assert ids(a) == ids(sampling.weighted_sample(d, rates, seed=9))
+    # different seed -> different set
+    assert ids(a) != ids(sampling.weighted_sample(d, rates, seed=10))
+
+
+def test_rates_calibrated(spark):
+    d = _docs(spark, 9000)
+    kept = sampling.weighted_sample(
+        d, {"en": 0.5, "de": 0.1, "fr": 1.0}, seed=3, default_rate=0.0
+    )
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # 3000 per stratum; the hash draw is uniform -> ~binomial tolerance
+    assert abs(got["en"] - 1500) < 150
+    assert abs(got["de"] - 300) < 90
+    assert got["fr"] == 3000  # rate 1.0 keeps everything
+
+
+def test_membership_stable_under_corpus_growth(spark):
+    """A row's keep-decision depends only on (seed, id): growing the
+    corpus never flips earlier rows (the property DataFrame.sample
+    lacks)."""
+    rates = {"en": 0.4, "de": 0.4, "fr": 0.4}
+    small = sampling.weighted_sample(_docs(spark, 1000), rates, seed=5)
+    big = sampling.weighted_sample(_docs(spark, 3000), rates, seed=5)
+    small_ids = {r.doc_id for r in small.collect()}
+    big_ids = {r.doc_id for r in big.collect()}
+    assert small_ids == {i for i in big_ids if i < 1000}
+
+
+def test_default_rate_zero_drops_unlisted(spark):
+    d = _docs(spark, 300)
+    kept = sampling.weighted_sample(d, {"en": 1.0}, seed=1, default_rate=0.0)
+    langs = {r.lang for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en"}
