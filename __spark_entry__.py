@@ -731,6 +731,25 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
+def _q_docs_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: global top-25 tokens by document frequency with
+    a total-order tiebreak (freq desc, token asc). Scale shape: explode
+    -> map-side partial count agg -> TakeOrderedAndProject (distributed
+    per-partition heaps, never a single-task global sort — plan-gated in
+    tests/test_plans.py)."""
+    d = _read(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.array_distinct(tx.tokens_expr(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        counts.orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(25)
+        .select("token", "doc_freq")
+    )
+
+
 def _q_docs_mixture_sample(spark, sf_dir):
     """Training-mixture weighting: deterministic per-language Bernoulli
     sampling via a seeded md5 draw per doc_id (reproducible,
@@ -986,6 +1005,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": _q_rel_rollup,
         "emb_canonical": _q_emb_canonical,
         "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_vocab_topk": _q_docs_vocab_topk,
     }
 
 
@@ -1714,6 +1734,19 @@ def extra_oracle_sql() -> dict[str, str]:
         "emb_canonical": oracles.canonical_embeddings_oracle(
             dim=64, num_planes=6, threshold=0.3, seed=42
         ),
+        "docs_vocab_topk": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, t AS token
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                    FROM documents WHERE len(trim(text)) > 0)
+            ), freq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+              FROM toks GROUP BY token
+            )
+            SELECT token, doc_freq FROM freq
+            ORDER BY doc_freq DESC, token LIMIT 25
+        """,
         "docs_mixture_sample": """
             WITH kept AS (
               SELECT doc_id, lang

@@ -94,7 +94,7 @@ def test_global_topk_is_take_ordered_not_global_window(spark):
     import __spark_entry__ as entrymod
 
     qmap = {**entrymod.queries(), **entrymod.extra_queries()}
-    for name in ("rel_topk", "rel_q3_shipping"):
+    for name in ("rel_topk", "rel_q3_shipping", "docs_vocab_topk"):
         df = qmap[name](spark, SF)
         plan = plan_of(df)
         assert "TakeOrderedAndProject" in plan, name
