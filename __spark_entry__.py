@@ -1426,7 +1426,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, len(toks) AS n_tokens,
                    len(regexp_extract_all(
-                     text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9'']+'
+                     text,
+                     '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^ \\t\\n\\x0B\\f\\rA-Za-z0-9'']+'
                    )) AS n_bpe_tokens,
                    len(text) AS text_len,
                    CASE WHEN len(toks) > 0

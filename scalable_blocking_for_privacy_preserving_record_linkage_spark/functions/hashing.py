@@ -107,11 +107,12 @@ def simhash_udf(num_bits: int = 64):
     """
 
     bit_idx = np.arange(num_bits, dtype=np.uint64)
+    # closure-level, so the cache survives across Arrow batches within a
+    # worker (np.unique dedups within a batch; this dedups across them)
+    memo: dict[str, int] = {}
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        memo: dict[str, int] = {}
-
         def token_val(tok: str) -> int:
             v = memo.get(tok)
             if v is None:

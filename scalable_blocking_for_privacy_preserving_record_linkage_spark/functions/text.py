@@ -38,7 +38,10 @@ def token_count_expr(text: Column) -> Column:
 # maximal letter / digit / non-space-punctuation runs. The real BPE merge
 # table then splits within these chunks, so this count is the standard
 # cheap upper-anchor for "how many tokens will the tokenizer emit".
-BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9']+"
+# Whitespace is an EXPLICIT class, not \s: Java's \s includes \x0B while
+# RE2's does not, and the driver oracle runs this same pattern in DuckDB.
+_WS = " \\t\\n\\x0B\\f\\r"
+BPE_TOKEN_RE = rf"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^{_WS}A-Za-z0-9']+"
 
 
 def bpe_token_count_expr(text: Column) -> Column:

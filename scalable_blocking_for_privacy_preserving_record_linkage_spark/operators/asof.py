@@ -72,11 +72,17 @@ def asof_join(
         l_payload.alias("_lp"),
         F.lit(None).cast(rp_type).alias("_rp"),
     )
-    # a null-time right row can never satisfy r.t <= l.t (ANSI/DuckDB ASOF
-    # semantics: null never matches); null-time LEFT rows come through with
-    # a null attach — they sort before every timed row in both variants,
-    # so the running last() sees nothing
-    r_t = right.where(F.col(on).isNotNull()).select(
+    # ANSI/DuckDB ASOF semantics: null never matches — neither a null
+    # time (can't satisfy r.t <= l.t) nor a null by-key (equality is
+    # null-unsafe). Right rows with any null key/time are dropped; left
+    # rows with nulls come through with a null attach. Enforcing this on
+    # the right side ALSO keeps the plain and bucketed variants identical:
+    # a window partitionBy would group null keys together (SQL grouping
+    # semantics), while the bucketed carry join's equality would not.
+    r_not_null = F.col(on).isNotNull()
+    for b in bys:
+        r_not_null = r_not_null & F.col(b).isNotNull()
+    r_t = right.where(r_not_null).select(
         *bys,
         F.col(on).alias("_t"),
         F.lit(1).alias("_src"),

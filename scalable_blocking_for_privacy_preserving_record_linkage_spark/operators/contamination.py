@@ -49,7 +49,7 @@ def ngram_contamination(
     text_col: str = "text",
     n: int = 13,
     min_hits: int = 1,
-    broadcast_benchmark: bool | None = None,
+    broadcast_benchmark: bool = False,
 ) -> DataFrame:
     """One row per corpus doc: (doc_id, total_grams, n_hits, contaminated).
 
@@ -58,7 +58,7 @@ def ngram_contamination(
     is the ``n_hits >= min_hits`` drop verdict. Docs shorter than one
     n-gram report 0/0/false.
 
-    ``broadcast_benchmark``: None (default) leaves the join strategy to
+    ``broadcast_benchmark``: False (default) leaves the join strategy to
     Catalyst/AQE — a typical eval suite's distinct grams fit the
     broadcast threshold and AQE picks a broadcast join at runtime, while
     a huge benchmark degrades gracefully to a shuffled equi-join instead

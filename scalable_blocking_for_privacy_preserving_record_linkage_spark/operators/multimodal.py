@@ -115,7 +115,7 @@ _FEATURE_SCHEMA = (
 )
 
 
-def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract each payload (Arrow-batched mapInPandas).
 
     Output: (media_id, kind, n_bytes, mean, std, phash). The decode is the

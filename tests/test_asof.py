@@ -201,3 +201,26 @@ def test_property_matches_pandas_merge_asof(spark):
                 ).collect()
             }
             assert got == want, (tol, kw)
+
+
+def test_null_by_keys_never_match(spark):
+    """ANSI equality is null-unsafe: a null by-key right row can never be
+    attached, and null-key left rows attach nulls — identically in the
+    plain and bucketed variants (the bucketed carry join would otherwise
+    diverge from the window's null-grouping semantics)."""
+    left = spark.createDataFrame(
+        [(1, 10.0, None), (2, 10.0, "u1")],
+        "event_id long, ts double, user_id string",
+    )
+    right = spark.createDataFrame(
+        [(None, 5.0, "nullkey"), ("u1", 5.0, "ok")],
+        "user_id string, ts double, tag string",
+    )
+    for kw in ({}, {"bucket_width_seconds": 3.0}):
+        out = {
+            r.event_id: r.tag_right
+            for r in asof.asof_join(
+                left, right, on="ts", by=("user_id",), **kw
+            ).collect()
+        }
+        assert out == {1: None, 2: "ok"}, kw
