@@ -41,7 +41,14 @@ def wait_for_quiet() -> tuple[float, float]:
     """Wait (bounded) for the 1-min load average to drop under the gate;
     returns (load at release, seconds spent waiting). Never blocks past
     the timeout — the driver must get its artifact either way, and the
-    recorded load discloses a contaminated window."""
+    recorded load discloses a contaminated window.
+
+    Deliberately NOT shared with scripts/run_scaling.wait_for_quiet:
+    bench.py is the driver-contract artifact and must stay runnable
+    standalone (scripts/ is not a package), and the two gates want
+    different trade-offs (bench: permissive 2.0 with a short bounded
+    wait so the driver always gets a number; campaigns: strict 1.2 with
+    a long wait because a contaminated trial is worthless)."""
     t0 = time.time()
     while time.time() - t0 < LOAD_GATE_TIMEOUT_S:
         load = os.getloadavg()[0]
