@@ -771,6 +771,27 @@ def _q_docs_mixture_sample(spark, sf_dir):
     )
 
 
+def _q_docs_mixture_repeat(spark, sf_dir):
+    """Fractional upsampling for mixture weighting: rate 2.25 = every doc
+    twice + a deterministic hash-drawn quarter a third time. Dyadic rates
+    keep the fractional compare IEEE-exact in both engines; the value
+    check pins multiplicities via sum(doc_id * copy_idx)."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        sampling,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    out = sampling.weighted_repeat(
+        d, {"en": 2.25, "de": 0.5, "fr": 1.0}, key_col="lang",
+        id_col="doc_id", seed=11, default_rate=1.0,
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.col("doc_id") * F.col("copy_idx")).alias("weighted_sum"),
+    )
+
+
 def _q_emb_canonical(spark, sf_dir):
     """End-to-end embedding-modality dedup: LSH near pairs -> exact-cosine
     verify -> transitive clusters -> canonical survivor per vector (the
@@ -1005,6 +1026,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": _q_rel_rollup,
         "emb_canonical": _q_emb_canonical,
         "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_mixture_repeat": _q_docs_mixture_repeat,
         "docs_vocab_topk": _q_docs_vocab_topk,
     }
 
@@ -1735,6 +1757,28 @@ def extra_oracle_sql() -> dict[str, str]:
         "emb_canonical": oracles.canonical_embeddings_oracle(
             dim=64, num_planes=6, threshold=0.3, seed=42
         ),
+        "docs_mixture_repeat": """
+            WITH rated AS (
+              SELECT doc_id, lang,
+                     CASE lang WHEN 'en' THEN 2.25 WHEN 'de' THEN 0.5
+                               WHEN 'fr' THEN 1.0 ELSE 1.0 END AS rate,
+                     ('0x' || substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents
+            ), counted AS (
+              SELECT doc_id, lang,
+                     CAST(floor(rate) AS BIGINT)
+                       + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n
+              FROM rated
+            ), exploded AS (
+              SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_idx
+              FROM counted WHERE n > 0
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   CAST(sum(doc_id * copy_idx) AS BIGINT) AS weighted_sum
+            FROM exploded GROUP BY lang
+        """,
         "docs_vocab_topk": """
             WITH toks AS (
               SELECT DISTINCT doc_id, t AS token

@@ -47,11 +47,51 @@ def weighted_sample(
     """Keep each row with probability ``rates[key]`` (``default_rate``
     for unlisted strata), decided by the seeded per-id hash draw.
 
-    Rates above 1.0 are clamped to keep-all (upsampling/repetition is a
-    separate concern — this operator only thins). Returns the input
-    columns unchanged, filtered.
+    Rates above 1.0 are clamped to keep-all (``weighted_repeat`` handles
+    upsampling). Returns the input columns unchanged, filtered.
     """
+    rate_expr = _rate_expr(rates, key_col, default_rate)
+    return docs.where(sample_uniform_expr(F.col(id_col), seed) < rate_expr)
+
+
+def _rate_expr(rates: dict[str, float], key_col: str, default_rate: float) -> Column:
     rate_expr: Column = F.lit(float(default_rate))
     for k, r in sorted(rates.items()):
         rate_expr = F.when(F.col(key_col) == k, F.lit(float(r))).otherwise(rate_expr)
-    return docs.where(sample_uniform_expr(F.col(id_col), seed) < rate_expr)
+    return rate_expr
+
+
+def weighted_repeat(
+    docs: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Fractional up/down-sampling: each row appears
+    ``floor(rate) + Bernoulli(rate - floor(rate))`` times (so rate 2.25
+    means every row twice plus a deterministic quarter of rows a third
+    time), with a ``copy_idx`` column (1-based) distinguishing the
+    repeats. The fractional draw reuses the seeded per-id hash —
+    reproducible and partition-invariant like ``weighted_sample``; a
+    rate <= 1.0 degrades to exactly its Bernoulli thinning.
+
+    Prefer DYADIC rates (k/2^n: 0.25, 1.5, 2.75 …) so the fractional
+    comparison is exact under IEEE doubles in both Spark and the DuckDB
+    oracle.
+
+    Scale shape: pure projection + explode — no shuffle; the output is
+    at most ``ceil(max rate)`` times the input, never quadratic.
+    """
+    rate_expr = _rate_expr(rates, key_col, default_rate)
+    whole = F.floor(rate_expr).cast("long")
+    frac = rate_expr - F.floor(rate_expr)
+    extra = (sample_uniform_expr(F.col(id_col), seed) < frac).cast("long")
+    n = (whole + extra).alias("_n_copies")
+    return (
+        docs.withColumn("_n_copies", n)
+        .where(F.col("_n_copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )

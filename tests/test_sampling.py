@@ -59,3 +59,47 @@ def test_default_rate_zero_drops_unlisted(spark):
     kept = sampling.weighted_sample(d, {"en": 1.0}, seed=1, default_rate=0.0)
     langs = {r.lang for r in kept.select("lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_weighted_repeat_multiplicities(spark):
+    d = _docs(spark, 3000)
+    out = sampling.weighted_repeat(
+        d, {"en": 2.25, "de": 0.5, "fr": 1.0}, seed=4
+    )
+    per_doc = {
+        (r.doc_id): r.n
+        for r in out.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    langs = {r.doc_id: r.lang for r in d.collect()}
+    for doc_id, n in per_doc.items():
+        lang = langs[doc_id]
+        if lang == "en":
+            assert n in (2, 3)
+        elif lang == "de":
+            assert n == 1  # survivors of the 0.5 thinning appear once
+        else:
+            assert n == 1
+    # en: every doc at least twice; ~25% thrice
+    en_total = sum(n for i, n in per_doc.items() if langs[i] == "en")
+    n_en = sum(1 for i in per_doc if langs[i] == "en")
+    assert n_en == 1000  # rate >= 1 keeps every doc
+    assert abs(en_total - 2250) < 120
+    # de: ~half survive
+    n_de = sum(1 for i in per_doc if langs[i] == "de")
+    assert abs(n_de - 500) < 90
+    # copy_idx is 1..n per doc
+    bad = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("copy_idx").alias("mx"), F.min("copy_idx").alias("mn")
+    ).where((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count()
+    assert bad == 0
+
+
+def test_weighted_repeat_deterministic_and_partition_invariant(spark):
+    d = _docs(spark, 1200)
+    rates = {"en": 1.75, "de": 2.0, "fr": 0.25}
+    rows = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.copy_idx) for r in df.select("doc_id", "copy_idx").collect()
+    )
+    a = sampling.weighted_repeat(d, rates, seed=8)
+    b = sampling.weighted_repeat(d.repartition(13), rates, seed=8)
+    assert rows(a) == rows(b)
