@@ -1048,7 +1048,7 @@ def oracle_sql() -> dict[str, str]:
                      regexp_extract(html, '(?s)<body>(.*?)</body>', 1) AS xt
               FROM pages
             ), toks AS (
-              SELECT id, party, regexp_split_to_array(trim(xt), '\\s+') AS t FROM ext
+              SELECT id, party, regexp_split_to_array(trim(xt), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM ext
             )
             SELECT id, party,
                    upper(trim(t[1])) AS surname,
@@ -1443,7 +1443,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, text,
                      CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                          ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks
               FROM documents
             )
             SELECT doc_id, len(toks) AS n_tokens,
@@ -1466,7 +1466,7 @@ def oracle_sql() -> dict[str, str]:
                          THEN len(regexp_replace(text, '[^0-9]', '', 'g')) / len(text)
                          ELSE 0.0 END, 4) AS digit_ratio,
                    round(least(1.0, len(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-                                ELSE regexp_split_to_array(trim(text), '\\s+') END) / 20.0)
+                                ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END) / 20.0)
                          * (1.0 - CASE WHEN len(text) > 0
                                    THEN len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / len(text)
                                    ELSE 0.0 END), 4) AS quality
@@ -1476,7 +1476,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id,
                      CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+                          ELSE regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS toks
               FROM documents
             ), r AS (
               SELECT doc_id,
@@ -1783,7 +1783,7 @@ def extra_oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT DISTINCT doc_id, t AS token
               FROM (SELECT doc_id,
-                           unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                           unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
                     FROM documents WHERE len(trim(text)) > 0)
             ), freq AS (
               SELECT token, CAST(count(*) AS BIGINT) AS doc_freq

@@ -112,3 +112,34 @@ def test_window_invariant_under_row_order(elems, w, rnd):
     )
     out = _window_pairs_block(pdf, w)
     assert set(zip(out["record1"], out["record2"])) == base
+
+
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=70).filter(lambda t: "\x00" not in t),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_vectorized_md5_prefix_matches_hashlib(tokens):
+    """The batch-vectorized single-block MD5 (simhash fingerprints) is
+    BIT-IDENTICAL to hashlib for arbitrary unicode tokens, including the
+    55/56-byte single-block boundary and the >55-byte hashlib fallback."""
+    import hashlib
+
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.functions.hashing import (
+        _md5_prefix64_tokens,
+    )
+
+    uniq = np.unique(np.asarray(tokens, dtype=object))
+    got = _md5_prefix64_tokens(uniq)
+    want = np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in uniq
+        ],
+        dtype=np.uint64,
+    )
+    assert (got == want).all()
