@@ -13,8 +13,19 @@ one shuffle of left+right, versus the naive range-join which explodes
 every (left, right-earlier) pair before aggregating the max.
 
 Hot keys: per-key ordering is inherent to as-of semantics, so the plain
-window serializes a pathologically hot ``by`` key into one task. Pass
-``bucket_width_seconds`` to switch to the SALTED TWO-PHASE variant: the
+window serializes a pathologically hot ``by`` key into one task. The
+DEFAULT (``bucket_width_seconds="auto"``) guards against this with a
+slim pre-pass (one aggregation job over just the key+time columns of
+both sides): if the hottest key's row count exceeds
+``max(50_000, 4 * total / shuffle_partitions)`` — i.e. one window task
+would carry both a multiple of its fair share and enough rows to
+matter — the plan flips to the salted two-phase variant below with a
+derived width of ``(t_max - t_min) / (4 * shuffle_partitions)``.
+Otherwise the plain one-shuffle plan runs. Pass ``None`` to force the
+plain plan (skips the pre-pass job), or a number to force the bucketed
+plan with that width.
+
+The two-phase variant: the
 timeline splits into fixed buckets, phase 1 pre-aggregates the right
 side to one "latest in bucket" summary per (key, bucket) and computes
 each bucket's carry-in (the latest right row from all EARLIER buckets)
@@ -32,8 +43,52 @@ the same total order the window's last() resolves to).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# below this, even a fully serialized per-key window task is subsecond —
+# the auto pre-pass never flips to the bucketed plan for less
+_AUTO_SKEW_FLOOR = 50_000
+# hot key must also exceed this multiple of the fair per-partition share
+_AUTO_SKEW_FACTOR = 4
+
+
+def _epoch_seconds(c: Column, dt: T.DataType) -> Column:
+    """Numeric seconds view of the time column for bucketing/tolerance
+    arithmetic. TIMESTAMP_NTZ has no direct double cast (ANSI), so
+    timestamps hop through TIMESTAMP first; numerics cast directly."""
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def _auto_bucket_width(l_t: DataFrame, r_t: DataFrame, bys: list[str]) -> float | None:
+    """Skew pre-pass for the auto plan choice: one aggregation job over
+    the slim (by, _t) projection of both sides (the exact row set the
+    as-of window would partition by key). Returns a derived bucket width
+    when the key histogram is degenerate, else None (plain plan)."""
+    spark = l_t.sparkSession
+    parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    t_dbl = _epoch_seconds(F.col("_t"), l_t.schema["_t"].dataType)
+    slim = l_t.select(*bys, "_t").unionByName(r_t.select(*bys, "_t"))
+    per_key = slim.groupBy(*bys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(t_dbl).alias("_lo"),
+        F.max(t_dbl).alias("_hi"),
+    )
+    row = per_key.agg(
+        F.max("_n").alias("hot"),
+        F.sum("_n").alias("total"),
+        F.min("_lo").alias("lo"),
+        F.max("_hi").alias("hi"),
+    ).collect()[0]
+    if row["hot"] is None:
+        return None
+    threshold = max(_AUTO_SKEW_FLOOR, _AUTO_SKEW_FACTOR * row["total"] // parts)
+    if row["hot"] <= threshold or row["lo"] is None or row["hi"] <= row["lo"]:
+        return None  # uniform enough / no time spread to split on
+    return (row["hi"] - row["lo"]) / float(_AUTO_SKEW_FACTOR * parts)
 
 
 def asof_join(
@@ -44,15 +99,17 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     tolerance_seconds: float | None = None,
-    bucket_width_seconds: float | None = None,
+    bucket_width_seconds: float | None | str = "auto",
 ) -> DataFrame:
     """Backward-inclusive as-of join; unmatched left rows keep nulls.
 
     ``right_cols`` limits the attached payload (default: all non-key
     right columns). ``tolerance_seconds`` drops matches older than the
     window (null attach instead), like pandas ``merge_asof`` tolerance.
-    ``bucket_width_seconds`` enables the hot-key-safe two-phase plan
-    (see module docstring); pick a width that gives a hot key tens-to-
+    ``bucket_width_seconds``: ``"auto"`` (default) runs the slim skew
+    pre-pass and picks the plan (module docstring); ``None`` forces the
+    plain one-shuffle plan; a number forces the hot-key-safe two-phase
+    plan with that width — pick one that gives a hot key tens-to-
     hundreds of occupied buckets. Output: every left column, then
     ``{on}{suffix}`` plus each right payload column as ``{col}{suffix}``.
     """
@@ -90,6 +147,9 @@ def asof_join(
         r_payload.alias("_rp"),
     )
 
+    if bucket_width_seconds == "auto":
+        bucket_width_seconds = _auto_bucket_width(l_t, r_t, bys)
+
     if bucket_width_seconds is None:
         # right rows sort BEFORE left rows at equal time (_src desc), so
         # the running last() is backward-INCLUSIVE (l.t >= r.t), matching
@@ -105,9 +165,10 @@ def asof_join(
             .where(F.col("_src") == 0)
         )
     else:
-        bkt = F.floor(F.col("_t").cast("double") / float(bucket_width_seconds)).cast(
-            "long"
-        )
+        bkt = F.floor(
+            _epoch_seconds(F.col("_t"), l_t.schema["_t"].dataType)
+            / float(bucket_width_seconds)
+        ).cast("long")
         l_b = l_t.withColumn("_bkt", bkt)
         r_b = r_t.withColumn("_bkt", bkt)
         # phase 1: one summary row per occupied (key, bucket) on the right;
@@ -160,8 +221,10 @@ def asof_join(
         )
 
     if tolerance_seconds is not None:
+        t_dt = l_t.schema["_t"].dataType
         within = (
-            F.col("_t").cast("double") - F.col("_m._r_on").cast("double")
+            _epoch_seconds(F.col("_t"), t_dt)
+            - _epoch_seconds(F.col("_m._r_on"), t_dt)
         ) <= F.lit(float(tolerance_seconds))
         matched = matched.withColumn(
             "_m", F.when(within, F.col("_m")).otherwise(F.lit(None).cast(rp_type))

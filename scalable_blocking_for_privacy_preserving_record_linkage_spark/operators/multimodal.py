@@ -1,24 +1,33 @@
 """Multimodal columns for training-data pipelines: image/audio/video as
-opaque ``binary`` payloads with typed metadata, processed by Arrow-batched
+``binary`` payloads with typed metadata, processed by Arrow-batched
 ``mapInPandas`` kernels.
 
-The Spark-side plumbing — schemas, batch iteration, partitioning,
-zero-copy Arrow transfer — is real and tested. The actual codec calls are
-STUBBED: this container ships no image/audio libraries, so each kernel
-routes through :func:`_decode_backend`, which uses a clearly-marked
-deterministic fake ("fakecodec") unless a real backend (PIL, etc.) is
-importable. Swapping in a real decoder changes ONE function; none of the
-distributed plumbing moves.
+Decode status per modality (see :func:`_decode_backend`):
+
+* **image — REAL**: payloads are valid 24-bit BMP files, decoded by the
+  dependency-free byte-offset decoder in ``functions/codecs.py``
+  (handles top-down and bottom-up row order, row padding, arbitrary
+  pixel-data offset).
+* **audio — REAL**: payloads are valid PCM WAV files (RIFF chunk walk,
+  8/16-bit).
+* **video — declared fake**: no container video codec can be written
+  dependency-free; frames decode via the deterministic ``fakecodec``
+  (md5-digest tiling), clearly marked, swappable at this one seam.
 
 Media table schema (the multimodal analogue of the pages table):
 
     media(media_id: long, kind: string,        -- 'image' | 'audio' | 'video'
-          payload: binary,                     -- opaque encoded bytes
+          payload: binary,                     -- encoded bytes (BMP/WAV/raw)
           meta: struct<mime:string, width:int, height:int,
                        sample_rate:int, n_frames:int>)
 
 Deterministic synthesis from any (id, text) table keeps fixtures
-reproducible without external data (``synthesize_media``).
+reproducible without external data (``synthesize_media``): the DECODED
+content (pixels / PCM samples) is always the md5 digest of the source
+text tiled over the sample buffer, so every downstream feature stays a
+closed-form function of ``md5(text)`` that the DuckDB driver oracle
+recomputes — while the payload bytes themselves are real container
+files whose header arithmetic the oracle also reproduces.
 """
 
 from __future__ import annotations
@@ -32,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.codecs import decode_bmp, decode_wav, encode_bmp, encode_wav
 from ..sources.io import ensure_parallelism
 
 MEDIA_META = T.StructType(
@@ -54,58 +64,86 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def _decode_backend():
-    """Return the decode backend. Real codecs are not installed in this
-    container, so this resolves to the deterministic fake; the import-try
-    documents exactly where a real backend would slot in."""
-    try:  # pragma: no cover - container has no PIL
-        import PIL.Image  # noqa: F401
+def _decode_backend() -> dict[str, str]:
+    """Decode backend per modality: image and audio are REAL
+    dependency-free decoders (functions/codecs.py); video keeps the
+    declared deterministic fake — this mapping is the single seam a
+    container video codec would slot into."""
+    return {"image": "bmp", "audio": "wav", "video": "fakecodec"}
 
-        raise NotImplementedError(
-            "real image backend detected but intentionally not wired: "
-            "implement _decode_real() before removing the fake"
-        )
-    except ImportError:
-        return "fakecodec"
+
+def _tiled_digest(seed: bytes, n: int) -> np.ndarray:
+    """md5(seed) tiled to n bytes — the deterministic sample content for
+    ALL synthesized media (and the fake video decode). Every derived
+    feature is a closed-form function of the 16 digest bytes, so the
+    DuckDB driver oracle value-checks the whole feature path from
+    ``md5(text)`` hex."""
+    digest = hashlib.md5(seed).digest()
+    reps = -(-n // len(digest))
+    return np.frombuffer((digest * reps)[:n], dtype=np.uint8)
 
 
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for a decoded image: the md5 digest of the
-    payload tiled to fill the pixel buffer. Same payload -> same 'pixels'
-    on every executor, AND every derived feature (mean/std/phash/resize
-    byte sums) is a closed-form function of the 16 digest bytes — so the
-    DuckDB driver oracle can value-check the whole feature path from
-    ``md5(payload)`` hex without decoding anything."""
-    digest = hashlib.md5(payload).digest()
-    n = width * height * 3
-    reps = -(-n // len(digest))
-    return np.frombuffer((digest * reps)[:n], dtype=np.uint8).reshape(height, width, 3)
+    """Declared-fake video decode: digest-tiled pixel buffer."""
+    return _tiled_digest(payload, width * height * 3).reshape(height, width, 3)
+
+
+def _media_dims(doc_id: int) -> tuple[str, int, int, int, int]:
+    """(kind, width, height, sample_rate, n_frames) — pure function of
+    the id so the DuckDB oracle rebuilds them arithmetically."""
+    kind = ("image", "audio", "video")[doc_id % 3]
+    w = doc_id % 16 * 8 + 32
+    h = doc_id % 9 * 8 + 32
+    sr = 16000 if kind == "audio" else 0
+    nf = doc_id % 7 + 2 if kind == "video" else 1
+    return kind, w, h, sr, nf
 
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministically derive a media table from any (id, text) table.
 
-    payload = utf-8 bytes of the text (opaque as far as the pipeline is
-    concerned); kind/dimensions derived from the id so the table covers
-    all three modalities.
+    Image rows carry a REAL 24-bit BMP payload and audio rows a REAL
+    8-bit PCM WAV payload — both containing the md5(text) digest tiled
+    over the sample buffer (w*h*3 bytes), so downstream features remain
+    closed forms of ``md5(text)`` while the decode path exercises real
+    container parsing. Video rows keep the raw utf-8 text bytes (the
+    video decode is the declared fake). kind/dimensions derive from the
+    id so the table covers all three modalities.
     """
-    kind = (
-        F.when(F.col(id_col) % 3 == 0, "image")
-        .when(F.col(id_col) % 3 == 1, "audio")
-        .otherwise("video")
-    )
-    meta = F.struct(
-        F.concat(F.lit("x-fake/"), kind).alias("mime"),
-        (F.col(id_col) % 16 * 8 + 32).cast("int").alias("width"),
-        (F.col(id_col) % 9 * 8 + 32).cast("int").alias("height"),
-        F.when(kind == "audio", F.lit(16000)).otherwise(F.lit(0)).cast("int").alias("sample_rate"),
-        F.when(kind == "video", (F.col(id_col) % 7 + 2)).otherwise(F.lit(1)).cast("int").alias("n_frames"),
-    )
-    return ensure_parallelism(df).select(
-        F.col(id_col).cast("long").alias("media_id"),
-        kind.alias("kind"),
-        F.encode(F.col(text_col), "UTF-8").cast("binary").alias("payload"),
-        meta.alias("meta"),
+    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "x-fake/video"}
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                doc_id = int(doc_id)
+                kind, w, h, sr, nf = _media_dims(doc_id)
+                seed = (text or "").encode("utf-8")
+                if kind == "image":
+                    px = _tiled_digest(seed, w * h * 3).reshape(h, w, 3)
+                    payload = encode_bmp(px, top_down=True)
+                elif kind == "audio":
+                    payload = encode_wav(_tiled_digest(seed, w * h * 3), sr, bits=8)
+                else:
+                    payload = seed
+                ids.append(doc_id)
+                kinds.append(kind)
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "mime": mimes[kind],
+                        "width": w,
+                        "height": h,
+                        "sample_rate": sr,
+                        "n_frames": nf,
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return ensure_parallelism(df).select(id_col, text_col).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
     )
 
 
@@ -115,22 +153,34 @@ _FEATURE_SCHEMA = (
 )
 
 
+def _decode_samples(kind: str, payload: bytes, w: int, h: int) -> np.ndarray:
+    """Flat uint8 sample buffer per modality: REAL BMP decode for images,
+    REAL WAV decode for audio, declared fake for video (see
+    :func:`_decode_backend`)."""
+    if kind == "image":
+        return decode_bmp(payload).reshape(-1)
+    if kind == "audio":
+        samples, _sr = decode_wav(payload)
+        return np.asarray(samples, dtype=np.uint8)
+    return _fake_pixels(payload, w, h).reshape(-1)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract each payload (Arrow-batched mapInPandas).
 
-    Output: (media_id, kind, n_bytes, mean, std, phash). The decode is the
-    fake backend; everything around it (batch shape, schema, partition
-    behavior) is production plumbing.
+    Output: (media_id, kind, n_bytes, mean, std, phash). Image payloads
+    go through the REAL BMP decoder and audio payloads through the REAL
+    WAV decoder (functions/codecs.py); only video uses the declared fake.
 
-    mean/std are computed from exact integer pixel sums (then one float
+    mean/std are computed from exact integer sample sums (then one float
     division / sqrt), and phash compares integer samples against the
     integer sample-total (``sample*64 > total`` instead of
     ``sample > total/64``) — so the DuckDB oracle reproduces bit-identical
-    IEEE results from the same closed forms over the md5 digest bytes.
+    IEEE results from the same closed forms over the md5 digest bytes
+    (the synthesized decoded content; see ``synthesize_media``).
     phash: sign bits of 64 evenly-strided channel-0 samples vs their mean
     (a downsample-and-threshold perceptual-hash stand-in), low 63 bits.
     """
-    assert _decode_backend() == "fakecodec"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -143,17 +193,19 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "std": np.zeros(n, dtype=np.float64),
                 "phash": np.zeros(n, dtype=np.int64),
             }
-            for i, (payload, meta) in enumerate(zip(pdf["payload"], pdf["meta"])):
+            for i, (kind, payload, meta) in enumerate(
+                zip(pdf["kind"], pdf["payload"], pdf["meta"])
+            ):
                 w, h = int(meta["width"]), int(meta["height"])
-                px = _fake_pixels(bytes(payload), w, h)
-                npx = px.size
-                s = int(px.sum(dtype=np.int64))
-                s2 = int((px.astype(np.int64) ** 2).sum())
-                mean = s / npx
+                buf = _decode_samples(kind, bytes(payload), w, h)
+                nsm = buf.size
+                s = int(buf.sum(dtype=np.int64))
+                s2 = int((buf.astype(np.int64) ** 2).sum())
+                mean = s / nsm
                 out["n_bytes"][i] = len(payload)
                 out["mean"][i] = mean
-                out["std"][i] = float(np.sqrt(max(0.0, s2 / npx - mean * mean)))
-                flat_c0 = px.reshape(-1, 3)[:, 0]
+                out["std"][i] = float(np.sqrt(max(0.0, s2 / nsm - mean * mean)))
+                flat_c0 = buf.reshape(-1, 3)[:, 0]
                 idx = (np.arange(64) * (w * h)) // 64
                 samples = flat_c0[idx].astype(np.int64)
                 total = int(samples.sum())
@@ -177,12 +229,17 @@ def payload_byte_stats(media: DataFrame) -> DataFrame:
     inside the Arrow ``mapInPandas`` kernel (``np.frombuffer`` — no
     per-byte Python loop).
 
-    Unlike the feature kernels these are exactly SQL-reproducible, so the
+    Unlike the feature kernels these are exactly SQL-reproducible (the
+    oracle rebuilds the BMP/WAV container bytes arithmetically), so the
     driver value-oracle covers the full binary Arrow path end to end: if
     payload bytes were corrupted, reordered, or truncated anywhere between
     the parquet scan and the Python worker, ``byte_sum``/``md5i`` would
     mismatch — a content check, not just the length check ``mm_inventory``
     provides. Empty payloads yield first/last byte ``-1`` and sum 0.
+    ``md5i`` fingerprints the payload's canonical LOWERCASE-HEX encoding
+    (computed in the kernel from the received bytes — a bijection, so the
+    integrity guarantee is unchanged): DuckDB's md5 only accepts VARCHAR,
+    and real container payloads are not valid UTF-8.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -205,7 +262,9 @@ def payload_byte_stats(media: DataFrame) -> DataFrame:
                 if b.size:
                     out["first_byte"][i] = int(b[0])
                     out["last_byte"][i] = int(b[-1])
-                out["md5i"][i] = int(hashlib.md5(raw).hexdigest()[:8], 16)
+                out["md5i"][i] = int(
+                    hashlib.md5(raw.hex().encode("ascii")).hexdigest()[:8], 16
+                )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, schema=_BYTESTATS_SCHEMA)
@@ -217,15 +276,14 @@ _RESIZE_SCHEMA = (
 
 
 def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
-    """Resize the image payloads to ``target`` x ``target`` (fake decode ->
-    nearest-neighbor sample -> re-encode as raw RGB bytes).
+    """Resize the image payloads to ``target`` x ``target`` (REAL BMP
+    decode -> nearest-neighbor sample -> re-encode as raw RGB bytes).
 
     ``byte_sum`` is the integer sum of the RESIZED payload bytes, computed
     from the output array inside the kernel — the DuckDB oracle recomputes
-    it from the closed form over the md5 digest (nearest-neighbor index
-    arithmetic), value-checking the actual resample content, not just the
-    output dimensions."""
-    assert _decode_backend() == "fakecodec"
+    it from the closed form over the md5 digest (the synthesized pixel
+    content; nearest-neighbor index arithmetic), value-checking the actual
+    resample content, not just the output dimensions."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -239,7 +297,7 @@ def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
                 if kind != "image":
                     continue
                 w, h = int(meta["width"]), int(meta["height"])
-                px = _fake_pixels(bytes(payload), w, h)
+                px = decode_bmp(bytes(payload))
                 yi = (np.arange(target) * h // target).clip(0, h - 1)
                 xi = (np.arange(target) * w // target).clip(0, w - 1)
                 resized = px[np.ix_(yi, xi)]
@@ -265,7 +323,7 @@ _FRAME_SCHEMA = "media_id long, frame_idx int, frame_mean double"
 
 def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
     """Sample frames from video payloads: one output row per kept frame."""
-    assert _decode_backend() == "fakecodec"
+    assert _decode_backend()["video"] == "fakecodec"  # declared-fake seam
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -132,6 +132,59 @@ def ivf_build_centroids(
     return cents
 
 
+def ivf_seeded_centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
+    """Seeded random UNIT centroids — the data-independent coarse
+    quantizer. Unlike ``ivf_build_centroids`` (k-means, data-dependent)
+    these are a pure function of (dim, n_lists, seed), so a SQL oracle can
+    inline the identical literals and replay the whole IVF probe path —
+    the same trick ``hyperplane_planes`` uses. Recall is lower than with
+    trained centroids; that trade-off is exactly what ``ann_ivf_recall``
+    measures."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
+def ivf_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the APPROXIMATE IVF regime (nprobe < n_lists)
+    against the exact brute-force top-k on the same queries.
+
+    Output: one row per query — (query_id, n_hits, recall) with
+    ``n_hits = |ivf_topk ∩ exact_topk|`` and ``recall = n_hits / k``.
+    Queries whose probed lists miss every true neighbor report 0.0 —
+    the honest number, not an idealized one. Plan shape: the two top-k
+    plans run over the same corpus scan lineage; the final intersection
+    is a slim (query_id, neighbor_id) semi-join."""
+    approx = ivf_topk(
+        corpus, queries, centroids, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    exact = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left_outer")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / float(k), 3).alias("recall"),
+        )
+    )
+
+
 def _nearest_centroids_expr(vec, cents: np.ndarray, nprobe: int):
     """array of the nprobe centroid ids with highest dot product (pure
     Catalyst: per-centroid dot products + array sort by score)."""

@@ -436,6 +436,82 @@ def _bucket_terms_sql(planes) -> str:
     )
 
 
+def ann_ivf_recall_oracle(
+    dim: int,
+    n_lists: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    seed: int = 42,
+    n_queries: int = 20,
+) -> str:
+    """Oracle for the APPROXIMATE IVF regime (nprobe < n_lists): replays
+    the exact engine algorithm — identical seeded unit-centroid literals
+    (operators/similarity.py:ivf_seeded_centroids), argmax list assignment
+    with the engine's (score DESC, cid DESC) tie order, top-nprobe query
+    probes, exact-cosine re-rank inside the probed lists — then measures
+    per-query recall against the brute-force top-k. Checks the recall
+    BEHAVIOR of the approximation, not an idealized ANN answer."""
+    from ..operators.similarity import ivf_seeded_centroids
+
+    cents = ivf_seeded_centroids(dim, n_lists, seed)
+    cent_rows = ", ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cents[c])}]::DOUBLE[])"
+        for c in range(n_lists)
+    )
+    return f"""
+WITH cents(cid, cv) AS (VALUES {cent_rows}),
+bv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id, v FROM bv WHERE vec_id < {n_queries}),
+cassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cv) DESC, c.cid DESC) AS rn
+    FROM bv b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid DESC) AS rn
+    FROM qv q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, b.v), 6) DESC,
+                      b.vec_id) AS rank
+    FROM qprobe p
+    JOIN qv q ON q.vec_id = p.vec_id
+    JOIN cassign a ON a.cid = p.cid
+    JOIN bv b ON b.vec_id = a.vec_id AND b.vec_id <> q.vec_id
+  ) WHERE rank <= {k}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, b.v), 6) DESC,
+                      b.vec_id) AS rank
+    FROM qv q JOIN bv b ON b.vec_id <> q.vec_id
+  ) WHERE rank <= {k}
+),
+hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
+  FROM exact e JOIN approx a USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(h.n, 0) / {float(k)!r}, 3) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
 def ann_lsh_oracle(
     dim: int, num_planes: int = 8, k: int = 5, seed: int = 42
 ) -> str:

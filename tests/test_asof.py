@@ -224,3 +224,75 @@ def test_null_by_keys_never_match(spark):
             ).collect()
         }
         assert out == {1: None, 2: "ok"}, kw
+
+
+def _window_specs(df):
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+
+def test_auto_keeps_plain_plan_on_uniform_keys(spark):
+    """Default ("auto"): uniform small inputs stay on the plain one-shuffle
+    union+window plan — the pre-pass must not pay the two extra shuffles
+    of the bucketed variant when no key is degenerate."""
+    left, right = _random_fixture(spark)
+    res = asof.asof_join(left, right, on="ts", by=("user_id",))
+    assert not any("_bkt" in s for s in _window_specs(res))
+    assert _collect_sorted(res) == _collect_sorted(
+        asof.asof_join(left, right, on="ts", by=("user_id",), bucket_width_seconds=None)
+    )
+
+
+def test_auto_flips_to_bucketed_plan_on_hot_key(spark):
+    """Default ("auto") with NO caller opt-in: a key holding ~95% of 120k
+    rows (over the 50k serialization floor and 4x the fair share) must
+    flip to the two-phase bucketed plan with a derived width, and the
+    output must equal the plain plan's exactly."""
+    key = F.when(
+        F.col("id") % 20 != 0, F.lit("hot")
+    ).otherwise(F.concat(F.lit("u"), (F.col("id") % 50).cast("string")))
+    left = spark.range(120_000).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 37) % 9973).cast("double").alias("ts"),
+        key.alias("user_id"),
+    )
+    right = spark.range(5_000).select(
+        key.alias("user_id"),
+        ((F.col("id") * 91) % 9973).cast("double").alias("ts"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("tag"),
+    )
+    auto = asof.asof_join(left, right, on="ts", by=("user_id",))
+    assert any("user_id" in s and "_bkt" in s for s in _window_specs(auto))
+    plain = asof.asof_join(
+        left, right, on="ts", by=("user_id",), bucket_width_seconds=None
+    )
+    assert auto.exceptAll(plain).count() == 0
+    assert plain.exceptAll(auto).count() == 0
+
+
+def test_bucketed_variant_on_timestamp_ntz_columns(spark):
+    """The bucketed plan (and the auto pre-pass) must work when `on` is a
+    real timestamp column — TIMESTAMP_NTZ has no direct double cast, which
+    previously crashed any non-plain path on parquet event tables."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "u1"), (2, "2024-01-01 12:00:00", "u1")],
+        "event_id long, ts string, user_id string",
+    ).select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id")
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:30:00", "a"), ("u1", "2024-01-01 11:00:00", "b")],
+        "user_id string, ts string, tag string",
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "tag")
+    for kw in (
+        {},
+        {"bucket_width_seconds": 1800.0},
+        {"bucket_width_seconds": 1800.0, "tolerance_seconds": 3600.0},
+    ):
+        out = {
+            r.event_id: r.tag_right
+            for r in asof.asof_join(
+                left, right, on="ts", by=("user_id",), **kw
+            ).collect()
+        }
+        assert out == {1: "a", 2: "b"}, kw

@@ -69,3 +69,19 @@ def test_ivf_large_nlist_avoids_literal_plan(spark, emb):
     df = similarity.ivf_topk(emb, queries, cents, k=2, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_ivf_recall_floor_and_exhaustive_limit(spark, emb):
+    """The approximate regime's measured recall: (a) one row per query
+    with n_hits/recall consistent; (b) the STATED FLOOR — mean recall@5
+    >= 0.5 at nprobe=3 of 8 seeded lists (the __spark_entry__
+    ann_ivf_recall operating point); (c) probing every list drives
+    recall to exactly 1.0 (exhaustive == brute force)."""
+    cents = similarity.ivf_seeded_centroids(dim=64, n_lists=8, seed=42)
+    queries = emb.where(F.col("vec_id") < 20)
+    rows = similarity.ivf_recall_at_k(emb, queries, cents, k=5, nprobe=3).collect()
+    assert len(rows) == 20
+    assert all(abs(r.recall - r.n_hits / 5.0) < 1e-9 for r in rows)
+    assert sum(r.recall for r in rows) / len(rows) >= 0.5
+    full = similarity.ivf_recall_at_k(emb, queries, cents, k=5, nprobe=8).collect()
+    assert all(r.recall == 1.0 for r in full)

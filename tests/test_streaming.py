@@ -276,3 +276,146 @@ def test_dedup_stream_against_matches_batch(spark, tmp_path):
     flagged = {d for d, _, _ in got}
     assert 202 not in flagged          # novel doc passes through
     assert {200, 201} <= flagged       # planted near-dups are caught
+
+
+def _run_to_files(df, out_dir, ckpt_dir, cols):
+    """Run an availableNow pass into a parquet sink with a persistent
+    checkpoint — stopping and starting again later IS a restart from the
+    checkpoint (offsets + state store both recover from disk)."""
+    q = (
+        df.select(*cols)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+
+def test_match_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill/restart evidence for the stream-static matcher: process half
+    the input, let the query terminate (equivalent to a kill between
+    micro-batches), append more files INCLUDING an exact re-send of
+    already-processed records, and restart from the same checkpoint.
+    Exactly-once contract: (a) already-read files are not reprocessed,
+    (b) the pair-dedup STATE survives the restart, so the re-sent records
+    produce no duplicate match pairs, (c) no gaps — the final output
+    equals the batch oracle over the distinct input."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    records = fixtures.spark_records(spark, 120, overlap=0.5, typo_rate=0.0, seed=7)
+    samples = classify.build_reference_samples(
+        fixtures.spark_reference_sets(spark), CFG, records.count()
+    )
+    static_elements = blocking.block_ids(
+        classify.classify(spark, records, samples, CFG), CFG
+    )
+    static_blooms = matching.encode_blooms(records, CFG)
+
+    b = records.where(F.col("party") == "B").cache()
+    g0 = b.where(F.col("id") < "B020")
+    g1 = b.where((F.col("id") >= "B020") & (F.col("id") < "B040"))
+    g2 = b.where(F.col("id") >= "B040")
+
+    def matched_stream():
+        stream = jobs.stream_records(spark, src, max_files_per_trigger=1)
+        return jobs.match_stream_against(
+            stream, static_elements, static_blooms, samples, CFG
+        )
+
+    cols = ["record1", "record2", "matched_fields"]
+    # phase 1: two file groups, run to termination ("kill" point)
+    g0.write.mode("append").parquet(src)
+    g1.write.mode("append").parquet(src)
+    _run_to_files(matched_stream(), out, ckpt, cols)
+    n_phase1 = spark.read.parquet(out).count()
+    assert n_phase1 > 0
+
+    # phase 2: new records + an exact RE-SEND of g1 (new files, same
+    # rows) -> restart from the SAME checkpoint
+    g2.write.mode("append").parquet(src)
+    g1.write.mode("append").parquet(src)  # duplicate content, new files
+    _run_to_files(matched_stream(), out, ckpt, cols)
+
+    got = spark.read.parquet(out).select("record1", "record2").collect()
+    pairs = [(r.record1, r.record2) for r in got]
+    # no duplicate pairs despite the duplicated input spanning the restart
+    assert len(pairs) == len(set(pairs))
+    # no gaps: equals the batch candidate rule + Dice over distinct input
+    a_side = static_elements.where("party='A'").select(
+        "blockID", F.col("recordID").alias("record1")
+    )
+    b_side = static_elements.where("party='B'").select(
+        "blockID", F.col("recordID").alias("record2")
+    )
+    cand = (
+        b_side.join(a_side, "blockID")
+        .select("record1", "record2")
+        .dropDuplicates(["record1", "record2"])
+    )
+    want = {
+        (r.record1, r.record2)
+        for r in matching.match_candidates(cand, static_blooms, CFG)
+        .select("record1", "record2")
+        .collect()
+    }
+    assert set(pairs) == want and len(want) > 0
+
+
+def test_dedup_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Same restart contract for the online dedup job: the re-sent
+    near-dup must NOT re-emit its (doc_id, dup_of) pair after the restart
+    (dropDuplicatesWithinWatermark state recovers from the checkpoint),
+    and the union of both phases equals the batch run over the distinct
+    stream docs."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import dedup
+
+    base = ("boilerplate navigation header footer legal text repeated on "
+            "every page of the same host with tiny local differences")
+    corpus = spark.createDataFrame(
+        [(i, base.replace("tiny", f"corp{i}")) for i in range(8)],
+        "doc_id long, text string",
+    )
+    index = dedup.minhash_band_index(corpus, num_hashes=16, num_bands=4)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    phase1 = [(200, base.replace("tiny", "stream0")), (201, base.replace("tiny", "stream1"))]
+    resend = [phase1[0]]  # doc 200 re-sent verbatim after the restart
+    phase2 = [(202, base.replace("tiny", "stream2"))] + resend
+
+    args = dict(num_hashes=16, num_bands=4, verify_threshold=0.7)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        _run_to_files(
+            jobs.dedup_stream_against(stream, index, **args),
+            out, ckpt, ["doc_id", "dup_of", "jaccard"],
+        )
+
+    spark.createDataFrame(phase1, "doc_id long, text string").write.mode("append").parquet(src)
+    run()
+    assert spark.read.parquet(out).count() > 0
+    spark.createDataFrame(phase2, "doc_id long, text string").write.mode("append").parquet(src)
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    keys = [(r.doc_id, r.dup_of) for r in rows]
+    assert len(keys) == len(set(keys))  # doc 200's pairs emitted ONCE
+    distinct_docs = spark.createDataFrame(
+        sorted(set(phase1 + phase2)), "doc_id long, text string"
+    )
+    want = {
+        (r.doc_id, r.dup_of, r.jaccard)
+        for r in jobs.dedup_stream_against(distinct_docs, index, **args).collect()
+    }
+    assert {(r.doc_id, r.dup_of, r.jaccard) for r in rows} == want and len(want) > 0
