@@ -165,6 +165,117 @@ def generate_reference_sets(seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame({"col1": pad(surnames), "col2": pad(names), "col3": pad(cities)})
 
 
+def spark_party_records_distributed(
+    spark: SparkSession,
+    n_per_party: int,
+    overlap: float = 0.25,
+    typo_rate: float = 0.05,
+    seed: int = 42,
+    vocab_sizes: tuple[int, int, int] = (100_000, 50_000, 15_000),
+    syllables: tuple[int, int, int] = (4, 4, 3),
+) -> tuple[DataFrame, DataFrame]:
+    """DISTRIBUTED high-cardinality fixture for envelope-scale runs.
+
+    ``generate_party_records`` is driver-side and its 600/400/200-word
+    vocabularies are fine up to a few thousand records — beyond that the
+    per-(block, score) tie groups outgrow the sorted-neighborhood window
+    (hundreds of records share one surname, and the true pair sits
+    further than W positions apart), which measures the FIXTURE's
+    degeneracy, not the engine (measured: F1 0.03 at 800k/party). The
+    reference's own 800k experiments run on voter-roll names, which are
+    nearly unique — this generator reproduces that regime: Spark-native
+    (spark.range + broadcast vocab joins + pure-Catalyst typos), default
+    vocabularies of 100k/50k/15k words, so attribute equality classes
+    stay window-sized at 10^6 records.
+
+    Semantics match ``generate_party_records``: the first
+    ``int(n*overlap)`` entities exist on both sides (ground truth = equal
+    ids), B-side copies get a seeded one-char typo in one attribute with
+    probability ``typo_rate``. Returns (records, reference_sets) — the
+    reference table is the vocabulary itself, as in
+    ``spark_reference_sets``.
+    """
+    from pyspark.sql import functions as F
+
+    vocabs = [
+        make_vocab(vocab_sizes[i], syllables[i], seed + 1 + i) for i in range(3)
+    ]
+    vocab_dfs = [
+        spark.createDataFrame(
+            pd.DataFrame({"_vidx": range(len(v)), f"_w{i}": v})
+        )
+        for i, v in enumerate(vocabs)
+    ]
+
+    n_overlap = int(n_per_party * overlap)
+    n_entities = 2 * n_per_party - n_overlap
+    ent = spark.range(n_entities).select(
+        F.col("id").alias("_eid"),
+        *[
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 10 + i)), F.lit(len(vocabs[i])))
+            .alias(f"_i{i}")
+            for i in range(3)
+        ],
+    )
+    for i, vdf in enumerate(vocab_dfs):
+        ent = ent.join(
+            F.broadcast(vdf.withColumnRenamed("_vidx", f"_i{i}")), f"_i{i}"
+        )
+    ent = ent.select(
+        F.format_string("R%09d", F.col("_eid")).alias("id"),
+        F.col("_eid").alias("_eid"),
+        F.col("_w0").alias("surname"),
+        F.col("_w1").alias("name"),
+        F.col("_w2").alias("city"),
+    )
+
+    a = ent.where(F.col("_eid") < n_per_party).withColumn("party", F.lit("A"))
+    b_base = ent.where(
+        (F.col("_eid") < n_overlap) | (F.col("_eid") >= n_per_party)
+    ).withColumn("party", F.lit("B"))
+
+    # seeded typo on the B side of shared entities: pick the attribute and
+    # the character position from id-derived hashes, substitute a letter —
+    # pure Catalyst, no UDF, identical on every run/partitioning
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    u = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 20)), F.lit(1_000_000))
+    hit = (F.col("_eid") < n_overlap) & (u < int(typo_rate * 1_000_000))
+    which = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 21)), F.lit(3))
+
+    def typo(col: str, attr_idx: int):
+        s = F.col(col)
+        pos = (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 22)), F.length(s)) + 1
+        ).cast("int")
+        repl = F.lit(letters).substr(
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 23)), F.lit(26)) + 1).cast("int"),
+            F.lit(1),
+        )
+        mutated = F.concat(
+            s.substr(F.lit(1), pos - 1), repl, s.substr(pos + 1, F.length(s))
+        )
+        return F.when(hit & (which == attr_idx), mutated).otherwise(s)
+
+    b = (
+        b_base.withColumn("surname", typo("surname", 0))
+        .withColumn("name", typo("name", 1))
+        .withColumn("city", typo("city", 2))
+    )
+    records = a.unionByName(b).select("id", "surname", "name", "city", "party")
+
+    n = max(len(v) for v in vocabs)
+    ref = pd.DataFrame(
+        {
+            f"col{i+1}": list(vocabs[i]) + [None] * (n - len(vocabs[i]))
+            for i in range(3)
+        }
+    )
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in ("col1", "col2", "col3")]
+    )
+    return records, spark.createDataFrame(ref, schema=schema)
+
+
 def spark_pages(spark: SparkSession, n_per_party: int, **kw) -> DataFrame:
     recs = generate_party_records(n_per_party, **kw)
     return spark.createDataFrame(records_to_pages(recs, seed=kw.get("seed", 42)), schema=PAGES_SCHEMA)
