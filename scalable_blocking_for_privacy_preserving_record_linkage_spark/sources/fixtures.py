@@ -165,68 +165,112 @@ def generate_reference_sets(seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame({"col1": pad(surnames), "col2": pad(names), "col3": pad(cities)})
 
 
+# 676 two-letter word prefixes: real-surname-like 2-char-prefix diversity.
+# The reference's classifier keys records on the first
+# NUM_OF_BINARY_SEARCH_CHARS(+1) = 2 characters (Conf.java:29,
+# ReferenceSetBlocking.java:161-164), so the number of DISTINCT 2-char
+# prefixes in the data bounds its class granularity — and with it the
+# block count and the recall at scale. Syllable-only words have 25; voter
+# rolls have hundreds; these words have up to 676.
+_PREFIXES = [a + b for a in "ABCDEFGHIJKLMNOPQRSTUVWXYZ" for b in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"]
+
+
+def word_space(n_syllables: int) -> int:
+    """Number of distinct words of ``n_syllables`` components (one
+    2-letter prefix + base-25 syllables)."""
+    return 676 * 25 ** (n_syllables - 1)
+
+
+def syllable_word(idx: int, n_syllables: int) -> str:
+    """Word #idx: 2-letter prefix = idx % 676, then the big-endian
+    base-25 digits of idx // 676 select syllables. Python twin of
+    ``_word_expr`` — the two MUST stay in lockstep (pinned by a fixture
+    test)."""
+    parts = [_PREFIXES[idx % 676]]
+    rest = idx // 676
+    for k in range(n_syllables - 2, -1, -1):
+        parts.append(_SYLLABLES[(rest // (25 ** k)) % 25])
+    return "".join(parts)
+
+
+def _word_expr(idx_col, n_syllables: int):
+    """Catalyst twin of ``syllable_word`` over a bigint index column."""
+    from pyspark.sql import functions as F
+
+    syl = F.array(*[F.lit(s) for s in _SYLLABLES])
+    pre = F.array(*[F.lit(p) for p in _PREFIXES])
+    rest = F.floor(idx_col / F.lit(676)).cast("long")
+    return F.concat(
+        F.element_at(pre, F.pmod(idx_col, F.lit(676)).cast("int") + 1),
+        *[
+            F.element_at(
+                syl,
+                (
+                    F.pmod(
+                        F.floor(rest / F.lit(25 ** k)).cast("long"), F.lit(25)
+                    ).cast("int")
+                    + 1
+                ),
+            )
+            for k in range(n_syllables - 2, -1, -1)
+        ]
+    )
+
+
 def spark_party_records_distributed(
     spark: SparkSession,
     n_per_party: int,
     overlap: float = 0.25,
     typo_rate: float = 0.05,
     seed: int = 42,
-    vocab_sizes: tuple[int, int, int] = (100_000, 50_000, 15_000),
-    syllables: tuple[int, int, int] = (4, 4, 3),
+    syllables: tuple[int, int, int] = (5, 5, 3),
+    ref_sizes: tuple[int, int, int] = (100_000, 50_000, 15_000),
 ) -> tuple[DataFrame, DataFrame]:
-    """DISTRIBUTED high-cardinality fixture for envelope-scale runs.
+    """DISTRIBUTED voter-roll-cardinality fixture for envelope-scale runs.
 
     ``generate_party_records`` is driver-side and its 600/400/200-word
-    vocabularies are fine up to a few thousand records — beyond that the
-    per-(block, score) tie groups outgrow the sorted-neighborhood window
-    (hundreds of records share one surname, and the true pair sits
-    further than W positions apart), which measures the FIXTURE's
-    degeneracy, not the engine (measured: F1 0.03 at 800k/party). The
-    reference's own 800k experiments run on voter-roll names, which are
-    nearly unique — this generator reproduces that regime: Spark-native
-    (spark.range + broadcast vocab joins + pure-Catalyst typos), default
-    vocabularies of 100k/50k/15k words, so attribute equality classes
-    stay window-sized at 10^6 records.
+    vocabularies are fine up to a few thousand records — beyond that
+    many records share each name and the sorted-neighborhood window
+    cannot cover the tie group (the true pair sits more than W positions
+    apart; measured F1 0.03 at 800k/party with 600 surnames, and still
+    0.09 with 100k surnames over 1.375M entities — ~14 records/name).
+    The reference's own 800k experiments run on voter-roll names, which
+    are nearly unique; this generator reproduces that regime with NO
+    vocabulary table at all: attribute words are synthesized in pure
+    Catalyst from the base-25 syllable space (surname/name default to 5
+    syllables = 9.77M distinct words, city to 3 = 15,625 — cities are
+    genuinely low-cardinality and blocking only needs one diverse
+    attribute to cover a pair), so name cardinality exceeds any entity
+    count this sandbox can hold.
 
     Semantics match ``generate_party_records``: the first
     ``int(n*overlap)`` entities exist on both sides (ground truth = equal
     ids), B-side copies get a seeded one-char typo in one attribute with
-    probability ``typo_rate``. Returns (records, reference_sets) — the
-    reference table is the vocabulary itself, as in
-    ``spark_reference_sets``.
+    probability ``typo_rate``. Returns (records, reference_sets); the
+    reference table is a seeded ``ref_sizes`` draw from the same word
+    spaces (built with ``syllable_word``, the Python twin of the
+    Catalyst synthesis).
     """
     from pyspark.sql import functions as F
 
-    vocabs = [
-        make_vocab(vocab_sizes[i], syllables[i], seed + 1 + i) for i in range(3)
-    ]
-    vocab_dfs = [
-        spark.createDataFrame(
-            pd.DataFrame({"_vidx": range(len(v)), f"_w{i}": v})
-        )
-        for i, v in enumerate(vocabs)
-    ]
-
+    spaces = [word_space(s) for s in syllables]
     n_overlap = int(n_per_party * overlap)
     n_entities = 2 * n_per_party - n_overlap
     ent = spark.range(n_entities).select(
         F.col("id").alias("_eid"),
         *[
-            F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 10 + i)), F.lit(len(vocabs[i])))
-            .alias(f"_i{i}")
-            for i in range(3)
+            _word_expr(
+                F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 10 + i)), F.lit(spaces[i])),
+                syllables[i],
+            ).alias(attr)
+            for i, attr in enumerate(("surname", "name", "city"))
         ],
-    )
-    for i, vdf in enumerate(vocab_dfs):
-        ent = ent.join(
-            F.broadcast(vdf.withColumnRenamed("_vidx", f"_i{i}")), f"_i{i}"
-        )
-    ent = ent.select(
+    ).select(
         F.format_string("R%09d", F.col("_eid")).alias("id"),
-        F.col("_eid").alias("_eid"),
-        F.col("_w0").alias("surname"),
-        F.col("_w1").alias("name"),
-        F.col("_w2").alias("city"),
+        "_eid",
+        "surname",
+        "name",
+        "city",
     )
 
     a = ent.where(F.col("_eid") < n_per_party).withColumn("party", F.lit("A"))
@@ -263,11 +307,19 @@ def spark_party_records_distributed(
     )
     records = a.unionByName(b).select("id", "surname", "name", "city", "party")
 
-    n = max(len(v) for v in vocabs)
+    rng = np.random.default_rng(seed + 99)
+    ref_words = [
+        sorted(
+            syllable_word(int(i), syllables[k])
+            for i in rng.choice(spaces[k], size=min(ref_sizes[k], spaces[k]), replace=False)
+        )
+        for k in range(3)
+    ]
+    n = max(len(v) for v in ref_words)
     ref = pd.DataFrame(
         {
-            f"col{i+1}": list(vocabs[i]) + [None] * (n - len(vocabs[i]))
-            for i in range(3)
+            f"col{k+1}": ref_words[k] + [None] * (n - len(ref_words[k]))
+            for k in range(3)
         }
     )
     schema = T.StructType(

@@ -177,3 +177,51 @@ def test_match_stats_agrees_with_two_pass_counts(golden):
     ).collect()[0]
     assert row["n_candidates"] == golden.candidates.count()
     assert row["n_matches"] == golden.matches.count()
+
+
+def test_distributed_fixture_matches_driver_side_semantics(spark):
+    """spark_party_records_distributed: same contract as
+    generate_party_records — exact per-party counts, exactly n*overlap
+    shared ids (ground truth), typo rate in the right ballpark on shared
+    B rows only, deterministic and partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.sources import (
+        fixtures,
+    )
+
+    n, overlap, typo = 4000, 0.25, 0.05
+    recs, ref = fixtures.spark_party_records_distributed(
+        spark, n, overlap=overlap, typo_rate=typo, seed=11
+    )
+    counts = {r["party"]: r["count"] for r in recs.groupBy("party").count().collect()}
+    assert counts == {"A": n, "B": n}
+    shared = (
+        recs.groupBy("id").agg(F.count_distinct("party").alias("p")).where("p=2").count()
+    )
+    assert shared == int(n * overlap)
+    # typos: only shared B rows may differ from their A twin, at ~typo_rate
+    a = recs.where("party='A'").select("id", "surname", "name", "city")
+    b = recs.where("party='B'").select(
+        "id",
+        F.col("surname").alias("s2"),
+        F.col("name").alias("n2"),
+        F.col("city").alias("c2"),
+    )
+    j = a.join(b, "id")
+    diff = j.where(
+        (F.col("surname") != F.col("s2"))
+        | (F.col("name") != F.col("n2"))
+        | (F.col("city") != F.col("c2"))
+    ).count()
+    assert 0 < diff < int(n * overlap) * typo * 2.5
+    # deterministic + partition-invariant
+    again, _ = fixtures.spark_party_records_distributed(
+        spark, n, overlap=overlap, typo_rate=typo, seed=11
+    )
+    assert sorted(map(tuple, recs.collect())) == sorted(
+        map(tuple, again.repartition(13).collect())
+    )
+    # reference table carries the full vocabularies
+    assert ref.columns == ["col1", "col2", "col3"]
+    assert ref.where(F.col("col1").isNotNull()).count() == 100_000

@@ -317,9 +317,10 @@ def test_match_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
     static_blooms = matching.encode_blooms(records, CFG)
 
     b = records.where(F.col("party") == "B").cache()
-    g0 = b.where(F.col("id") < "B020")
-    g1 = b.where((F.col("id") >= "B020") & (F.col("id") < "B040"))
-    g2 = b.where(F.col("id") >= "B040")
+    bucket = F.pmod(F.xxhash64("id"), F.lit(3))
+    g0 = b.where(bucket == 0)
+    g1 = b.where(bucket == 1)
+    g2 = b.where(bucket == 2)
 
     def matched_stream():
         stream = jobs.stream_records(spark, src, max_files_per_trigger=1)
