@@ -133,3 +133,43 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_cand")
         spark.sql("DROP TABLE IF EXISTS bkt_blooms")
+
+
+def test_ivf_recall_plan_broadcasts_queries_no_cartesian(spark):
+    """ann_ivf_recall's two top-k arms: the bounded query side must
+    BROADCAST (corpus never pair-shuffles) and no plan node may be a
+    cartesian product — the probe join is an equi-join on list_id."""
+    import numpy as np
+
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = similarity.ivf_seeded_centroids(dim=64, n_lists=8, seed=42)
+    df = similarity.ivf_recall_at_k(
+        emb, emb.where(F.col("vec_id") < 5), cents, k=5, nprobe=3
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_auto_prepass_not_in_returned_plan(spark):
+    """The auto skew pre-pass runs eagerly at build time; the RETURNED
+    plan must stay the plain union+window — no leftover aggregation of
+    the pre-pass, no join, one exchange per input branch."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        asof,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "u1"), (2, 20.0, "u2")], "event_id long, ts double, user_id string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 8.0, "a")], "user_id string, ts double, tag string"
+    )
+    plan = plan_of(asof.asof_join(left, right, on="ts", by=("user_id",)))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan  # the pre-pass agg is not part of the result
+    assert plan.count("Exchange") <= 2
