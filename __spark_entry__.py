@@ -828,13 +828,45 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 
 def _q_ann_ivf_recall(spark, sf_dir):
-    """THE approximate IVF regime (nprobe 3 of 8 lists), graded on its
-    measured recall@5 against the brute-force exact top-k. Centroids are
-    seeded unit vectors (data-independent) so the DuckDB oracle replays
-    the identical algorithm from literal arrays — assignment tie order,
-    probe selection, cosine re-rank and all. Stated floor: MEAN recall
-    >= 0.5 (measured 0.54-0.59 across sf0.001/0.01/0.1; asserted in
-    tests/test_similarity.py); per-query zeros are legitimate misses."""
+    """THE approximate IVF regime (nprobe 3 of 8 lists) with the TRAINED
+    coarse quantizer, graded on its measured recall@5 against the
+    brute-force exact top-k. Centroids come from deterministic spherical
+    k-means over the shipped sf0.01 embeddings sample
+    (similarity.ivf_trained_centroids — pure numpy/pyarrow, no PRNG
+    state), so the DuckDB oracle replays the identical algorithm from
+    literal arrays — assignment tie order, dual corpus assignment, probe
+    selection, pair dedup, cosine re-rank and all. The corpus is indexed
+    in its 2 nearest lists (n_assign=2, a disclosed 2x-index-size
+    redundancy — the standard recall lever on near-isotropic corpora,
+    and this fixture IS near-isotropic: within-label cosine ~0.0016).
+    Measured MEAN recall@5: 0.90 at sf0.01 (grading sf), 0.86 at sf0.1,
+    0.77 at sf0.001 (quantizer is trained once at the 0.01 corpus scale);
+    floors asserted in tests/test_similarity.py. The seeded
+    data-independent variant stays graded as ann_ivf_recall_seeded in
+    the extras window."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_trained_centroids(
+        _TRAINED_QUANTIZER_PATH, n_lists=8, seed=42
+    )
+    return similarity.ivf_recall_at_k(
+        e, e.where(F.col("vec_id") < 20), cents, k=5, nprobe=3, n_assign=2
+    )
+
+
+# The shipped coarse quantizer's training sample: the sf0.01 embeddings
+# file (500 vectors). Trained ONCE offline and applied at every sf — the
+# production IVF recipe (train on a bounded sample, ship centroids with
+# the index) — and a pure function of this file, so queries() and
+# oracle_sql() inline bit-identical literals at any sf.
+_TRAINED_QUANTIZER_PATH = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _q_ann_ivf_recall_seeded(spark, sf_dir):
+    """The data-independent seeded-unit-centroid IVF regime (the round-4
+    graded variant, kept for the quantizer-quality comparison): same
+    probe algorithm, centroids from ivf_seeded_centroids. Measured mean
+    recall@5 0.54-0.59 across sf — the honest baseline the trained
+    quantizer in ann_ivf_recall improves on (0.90 at sf0.01)."""
     e = _read(spark, sf_dir, "embeddings")
     cents = similarity.ivf_seeded_centroids(dim=64, n_lists=8, seed=42)
     return similarity.ivf_recall_at_k(
@@ -892,13 +924,17 @@ def _q_events_percentiles(spark, sf_dir):
 
 
 def _q_mm_features(spark, sf_dir):
-    """Full feature surface, VALUE-checked: the fake codec decodes each
-    payload to its md5 digest tiled over the pixel buffer, so mean/std/
-    phash are closed-form functions of the 16 digest bytes that the DuckDB
-    oracle recomputes from md5(text) hex. Engine and oracle perform the
-    identical IEEE float ops on identical integer sums (see
-    multimodal.extract_features), and both round with half-up — bit-equal
-    doubles in, equal rounded values out."""
+    """Full feature surface, VALUE-checked, ALL THREE modalities REAL:
+    every payload is a real container (BMP / WAV / uncompressed-DIB AVI)
+    whose DECODED content is the md5 digest tiled over the sample buffer
+    (per-frame digests for video), so mean/std/phash are closed-form
+    functions of digest bytes that the DuckDB oracle recomputes from md5
+    hex. Engine and oracle perform the identical IEEE float ops on
+    identical integer sums (see multimodal.extract_features), and both
+    round with half-up — bit-equal doubles in, equal rounded values out.
+    decode_ok exercises the corrupt-payload quarantine column (all 1 on
+    the valid fixture; corrupt-payload behavior is pinned by unit tests).
+    """
     d = _read(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(d)
     return multimodal.extract_features(media).select(
@@ -908,6 +944,7 @@ def _q_mm_features(spark, sf_dir):
         F.round("mean", 6).alias("mean"),
         F.round("std", 6).alias("std"),
         "phash",
+        "decode_ok",
     )
 
 
@@ -965,18 +1002,21 @@ def _q_mm_frames(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The 50 driver-graded queries. ROUND-4 ROTATION (VERDICT r3 next
-    #1): the driver records exactly the first 50 entries, so 12 queries
-    with two consecutive green official rows (r2+r3:
-    pages_text_invariant, rel_project_filter, rel_distinct_norm,
-    rel_groupby_collect, rel_union_all, rel_topk, text_langid,
-    text_fingerprint, text_repetition, text_pii, events_hopping,
-    events_percentiles) moved to ``extra_queries()`` — still
+    """The 50 driver-graded queries. ROUND-5 ROTATION (VERDICT r4 next
+    #5): the 12 queries rotated out in round 4 (official rows in r03)
+    return to the graded window, and the 11 queries that earned their
+    first official rows in r04 (rel_join_agg, rel_agg_pricing,
+    rel_q3_shipping, rel_left_outer_agg, rel_anti_join, rel_semi_join,
+    rel_rollup, emb_canonical, docs_mixture_sample, docs_mixture_repeat,
+    docs_vocab_topk) move to ``extra_queries()``, plus ``ann_ivf_topk``
+    (r04 official row; its oracle is the exact brute-force SQL and its
+    IVF machinery is now additionally evidenced by the upgraded
+    ``ann_ivf_recall``, which STAYS graded this round for its
+    trained-quantizer swap). Every query therefore has an official
+    driver row at most 2 rounds old, and the rotation is proven
+    repeatable in both directions. Rotated-out queries remain
     value-checked every session by tests/test_rel_parity.py and
-    scripts/check_contract.py — making room for official rows for the
-    11 previously-unofficial queries plus the new ``ann_ivf_recall``.
-    The union of CORRECTNESS_r03 + r04 then covers all 62 queries with
-    at least one official driver row each (see COVERAGE.md)."""
+    scripts/check_contract.py (see COVERAGE.md)."""
     return {
         # PPRL pipeline (documents-derived parties)
         "pprl_records": _q_pprl_records,
@@ -992,15 +1032,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_bloom_cardinality": _q_pprl_bloom_cardinality,
         "pprl_hlsh_matches": _q_pprl_hlsh_matches,
         # relational operator coverage — rotated-in variant matrix
-        "rel_join_agg": _q_rel_join_agg,
-        "rel_agg_pricing": _q_rel_agg_pricing,
-        "rel_q3_shipping": _q_rel_q3_shipping,
-        "rel_left_outer_agg": _q_rel_left_outer_agg,
-        "rel_anti_join": _q_rel_anti_join,
-        "rel_semi_join": _q_rel_semi_join,
-        "rel_rollup": _q_rel_rollup,
         "rel_cyclic_block_ids": _q_rel_cyclic_block_ids,
         "events_sessionize": _q_events_sessionize,
+        # rotated back in (round 5): relational variant matrix + text/events
+        "rel_project_filter": _q_rel_project_filter,
+        "rel_distinct_norm": _q_rel_distinct_norm,
+        "rel_groupby_collect": _q_rel_groupby_collect,
+        "rel_union_all": _q_rel_union_all,
+        "rel_topk": _q_rel_topk,
+        "pages_text_invariant": _q_pages_text_invariant,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
+        "text_pii": _q_text_pii,
+        "events_hopping": _q_events_hopping,
+        "events_percentiles": _q_events_percentiles,
         # dedup / similarity / text analysis
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
@@ -1009,18 +1055,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_canonical": _q_dedup_canonical,
         "dedup_stream_static": _q_dedup_stream_static,
-        "emb_canonical": _q_emb_canonical,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "pages_url_dedup": _q_pages_url_dedup,
         "events_asof_attribution": _q_events_asof_attribution,
         "text_decontaminate": _q_text_decontaminate,
         "docs_domain_cap": _q_docs_domain_cap,
-        "docs_mixture_sample": _q_docs_mixture_sample,
-        "docs_mixture_repeat": _q_docs_mixture_repeat,
-        "docs_vocab_topk": _q_docs_vocab_topk,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "emb_near_pairs": _q_emb_near_pairs,
@@ -1039,23 +1080,27 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries beyond the 50 the grading driver records (it checks
     exactly the first 50 entries of ``queries()``). Same contract, same
     DuckDB twins in ``extra_oracle_sql()``; value-checked by
-    tests/test_rel_parity.py and scripts/check_contract.py. These 12 all
-    hold TWO consecutive green official rows (CORRECTNESS_r02 + r03) —
-    rotated out in round 4 so the previously-unofficial queries get
-    official rows too (see ``queries()`` docstring and COVERAGE.md)."""
+    tests/test_rel_parity.py and scripts/check_contract.py. ROUND-5
+    ROTATION: 12 of these 13 hold official green rows in CORRECTNESS_r04
+    (rotated out so the round-4 sit-outs regain official rows — both
+    rotation directions now proven); ``ann_ivf_recall_seeded`` is the
+    round-4 graded seeded-quantizer algorithm under a new name (its
+    trained-quantizer successor holds the graded ``ann_ivf_recall``
+    slot). See ``queries()`` docstring and COVERAGE.md."""
     return {
-        "pages_text_invariant": _q_pages_text_invariant,
-        "rel_project_filter": _q_rel_project_filter,
-        "rel_distinct_norm": _q_rel_distinct_norm,
-        "rel_groupby_collect": _q_rel_groupby_collect,
-        "rel_union_all": _q_rel_union_all,
-        "rel_topk": _q_rel_topk,
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_repetition": _q_text_repetition,
-        "text_pii": _q_text_pii,
-        "events_hopping": _q_events_hopping,
-        "events_percentiles": _q_events_percentiles,
+        "rel_join_agg": _q_rel_join_agg,
+        "rel_agg_pricing": _q_rel_agg_pricing,
+        "rel_q3_shipping": _q_rel_q3_shipping,
+        "rel_left_outer_agg": _q_rel_left_outer_agg,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_semi_join": _q_rel_semi_join,
+        "rel_rollup": _q_rel_rollup,
+        "emb_canonical": _q_emb_canonical,
+        "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_mixture_repeat": _q_docs_mixture_repeat,
+        "docs_vocab_topk": _q_docs_vocab_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_recall_seeded": _q_ann_ivf_recall_seeded,
     }
 
 
@@ -1109,42 +1154,69 @@ def _oracle_pool() -> dict[str, str]:
         **oracles.pprl_oracles(CFG, rs_size=CFG.rs_size_override),
         "dedup_simhash": oracles.simhash_oracle(max_hamming=3),
         # mm_* value oracles: the DECODED sample content of every payload
-        # is md5(text) tiled over the w*h*3 buffer (real BMP pixels, real
-        # WAV samples, fake video frames — see multimodal.synthesize_media),
-        # so every feature is a closed form over the 16 digest bytes (dl).
-        # q full tiles + r remainder bytes; mean = (q*S + prefix_r)/n with
-        # the same IEEE ops as numpy. n_bytes is the CONTAINER size:
-        # BMP = 54 + stride*h, WAV = 44 + n, video = raw utf-8 length.
+        # is an md5 digest tiled over the sample buffer — md5(text) for
+        # image pixels / audio samples, md5(text||'|frame|'||f) for each
+        # video frame f (real BMP / WAV / uncompressed-DIB AVI containers;
+        # see multimodal.synthesize_media) — so every feature is a closed
+        # form over 16 digest bytes per frame (dl). q full tiles + r
+        # remainder bytes; mean = (sum over frames of q*S_f + prefix_r)/n
+        # with the same IEEE ops as numpy (all integer sums < 2^53, so the
+        # double division is correctly rounded on both sides). n_bytes is
+        # the CONTAINER size: BMP = 54 + stride*h, WAV = 44 + n,
+        # AVI = 224 + nf*(8 + stride*h). phash strides over the first
+        # w*h channel-0 samples — frame 0's digest for video.
         "mm_features": """
             WITH m AS (
               SELECT doc_id AS media_id,
                      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                           WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                     octet_length(encode(text)) AS tlen,
+                     text,
                      CAST(doc_id % 16 * 8 + 32 AS BIGINT) AS w,
                      CAST(doc_id % 9 * 8 + 32 AS BIGINT) AS h,
-                     list_transform(range(16), i ->
-                       ('0x' || substr(md5(text), CAST(2*i + 1 AS INT), 2))::BIGINT
-                     ) AS dl
+                     CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 7 + 2 AS BIGINT)
+                          ELSE CAST(1 AS BIGINT) END AS nf
               FROM documents
+            ), fr AS (
+              SELECT media_id, kind, w, h, nf, f,
+                     list_transform(range(16), i ->
+                       ('0x' || substr(
+                          CASE WHEN kind = 'video'
+                               THEN md5(text || '|frame|' || CAST(f AS VARCHAR))
+                               ELSE md5(text) END,
+                          CAST(2*i + 1 AS INT), 2))::BIGINT
+                     ) AS dl
+              FROM (SELECT media_id, kind, w, h, nf, text,
+                           unnest(range(nf)) AS f FROM m)
+            ), pf AS (
+              SELECT media_id, kind, w, h, nf, f, dl,
+                     ((w*h*3) // 16) * list_sum(dl)
+                       + COALESCE(list_sum(list_slice(dl, 1,
+                           CAST((w*h*3) % 16 AS INT))), 0) AS fsum,
+                     ((w*h*3) // 16) * list_sum(list_transform(dl, x -> x*x))
+                       + COALESCE(list_sum(list_transform(list_slice(dl, 1,
+                           CAST((w*h*3) % 16 AS INT)), x -> x*x)), 0) AS fsq
+              FROM fr
+            ), agg AS (
+              SELECT media_id, any_value(kind) AS kind, any_value(w) AS w,
+                     any_value(h) AS h, any_value(nf) AS nf,
+                     CAST(sum(fsum) AS BIGINT) AS bsum,
+                     CAST(sum(fsq) AS BIGINT) AS bsq,
+                     arg_min(dl, f) AS dl0
+              FROM pf GROUP BY media_id
             ), f1 AS (
-              SELECT media_id, kind, dl, w*h*3 AS n,
+              SELECT media_id, kind, nf*w*h*3 AS n,
                      CASE kind
                        WHEN 'image' THEN 54 + ((w*3 + 3) // 4 * 4) * h
                        WHEN 'audio' THEN 44 + w*h*3
-                       ELSE tlen END AS plen,
-                     (w*h*3) // 16 AS q, CAST((w*h*3) % 16 AS INT) AS r,
-                     list_sum(dl) AS s,
-                     list_sum(list_transform(dl, x -> x*x)) AS s2,
+                       ELSE 224 + nf * (8 + ((w*3 + 3) // 4 * 4) * h)
+                     END AS plen,
+                     bsum, bsq,
                      list_transform(range(64), k ->
-                       dl[CAST((3 * ((k*w*h) // 64)) % 16 AS INT) + 1]
+                       dl0[CAST((3 * ((k*w*h) // 64)) % 16 AS INT) + 1]
                      ) AS samples
-              FROM m
+              FROM agg
             ), f2 AS (
-              SELECT media_id, kind, plen, n, samples,
-                     q*s  + COALESCE(list_sum(list_slice(dl, 1, r)), 0) AS bsum,
-                     q*s2 + COALESCE(list_sum(
-                       list_transform(list_slice(dl, 1, r), x -> x*x)), 0) AS bsq,
+              SELECT media_id, kind, plen, n, samples, bsum, bsq,
                      list_sum(samples) AS total
               FROM f1
             )
@@ -1155,7 +1227,8 @@ def _oracle_pool() -> dict[str, str]:
                    CAST(COALESCE(list_sum(list_transform(range(63), k ->
                      CASE WHEN samples[CAST(k AS INT) + 1] * 64 > total
                           THEN 1::BIGINT << CAST(k AS INT) ELSE 0::BIGINT END
-                   )), 0) AS BIGINT) AS phash
+                   )), 0) AS BIGINT) AS phash,
+                   CAST(1 AS INT) AS decode_ok
             FROM f2
         """,
         "mm_inventory": """
@@ -1163,14 +1236,15 @@ def _oracle_pool() -> dict[str, str]:
                    CAST(CASE kind
                      WHEN 'image' THEN 54 + ((w*3 + 3) // 4 * 4) * h
                      WHEN 'audio' THEN 44 + w*h*3
-                     ELSE tlen END AS INTEGER) AS n_bytes
+                     ELSE 224 + nf * (8 + ((w*3 + 3) // 4 * 4) * h)
+                   END AS INTEGER) AS n_bytes
             FROM (
               SELECT doc_id AS media_id,
                      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                           WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                      CAST(doc_id % 16 * 8 + 32 AS BIGINT) AS w,
                      CAST(doc_id % 9 * 8 + 32 AS BIGINT) AS h,
-                     octet_length(encode(text)) AS tlen
+                     CAST(doc_id % 7 + 2 AS BIGINT) AS nf
               FROM documents
             )
         """,
@@ -1179,9 +1253,13 @@ def _oracle_pool() -> dict[str, str]:
         # (synthesized widths are multiples of 8 -> zero row padding, so
         # the pixel section is the 48-byte-period BGR pattern tiled; the
         # engine encoder handles padding generally), WAV = 44-byte header
-        # + the digest hex tiled, video = hex of the utf-8 text. byte_sum/
-        # first/last/md5i all derive from that hex, so a single corrupted
-        # payload byte anywhere fails the value hash.
+        # + the digest hex tiled, AVI = the fixed 224-byte RIFF header
+        # (avih/strh/strf fields little-endian, fps 10, top-down DIB so
+        # strf height is 2^32-h) + one '00db' chunk per frame whose body
+        # is frame f's digest md5(text||'|frame|'||f) tiled with the same
+        # period-48 BGR swap as BMP. byte_sum/first/last/md5i all derive
+        # from that hex, so a single corrupted payload byte anywhere —
+        # header or any frame — fails the value hash.
         "mm_bytestats": """
             WITH m AS (
               SELECT doc_id AS media_id,
@@ -1189,14 +1267,50 @@ def _oracle_pool() -> dict[str, str]:
                           WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                      CAST(doc_id % 16 * 8 + 32 AS BIGINT) AS w,
                      CAST(doc_id % 9 * 8 + 32 AS BIGINT) AS h,
-                     lower(hex(encode(text))) AS thex,
+                     CAST(doc_id % 7 + 2 AS BIGINT) AS nf,
+                     text,
                      md5(text) AS dhex
               FROM documents
+            ), vf AS (
+              -- per-video movi hex AND its closed-form byte sum: each
+              -- frame contributes '00db' (ascii sum 294) + the 4 LE size
+              -- bytes of w*3*h + the digest tiled over w*h*3 pixels
+              -- (w,h multiples of 8 => divisible by 48, so the period-48
+              -- BGR permutation covers whole blocks and the sum is
+              -- (w*h*3/16) * sum(digest bytes))
+              SELECT media_id,
+                     string_agg(
+                       '30306462' ||
+                       lower(array_to_string(list_transform(range(4), i ->
+                         lpad(to_hex((w*3*h >> CAST(8*i AS INT)) & 255), 2, '0')
+                       ), '')) ||
+                       substr(repeat(
+                         array_to_string(list_transform(range(48), j ->
+                           substr(fdh, CAST(2*((3*(j//3) + 2 - (j%3)) % 16) + 1 AS INT), 2)
+                         ), ''),
+                         CAST((w*h*3 + 47) // 48 AS INT)), 1, CAST(2*w*h*3 AS INT)),
+                       '' ORDER BY f) AS fhex,
+                     CAST(sum(
+                       294
+                       + list_sum(list_transform(range(4), i ->
+                           (w*3*h >> CAST(8*i AS INT)) & 255))
+                       + (w*h*3 // 16) * list_sum(list_transform(range(16), i ->
+                           ('0x' || substr(fdh, CAST(2*i + 1 AS INT), 2))::BIGINT))
+                     ) AS BIGINT) AS fsum
+              FROM (
+                SELECT media_id, w, h, f,
+                       md5(text || '|frame|' || CAST(f AS VARCHAR)) AS fdh
+                FROM (SELECT media_id, w, h, text, unnest(range(nf)) AS f
+                      FROM m WHERE kind = 'video')
+              ) GROUP BY media_id
             ), built AS (
+              -- hdr = the container header as a byte LIST (hex and
+              -- byte_sum both derive from it — no per-byte unnest);
+              -- body_sum = closed-form digest-tile sum per kind
               SELECT media_id, kind,
                 CASE kind
                   WHEN 'image' THEN
-                    lower(array_to_string(list_transform(flatten([
+                    flatten([
                       [66,77],
                       list_transform(range(4), i -> ((54 + w*3*h) >> CAST(8*i AS INT)) & 255),
                       [0,0,0,0], [54,0,0,0], [40,0,0,0],
@@ -1205,49 +1319,90 @@ def _oracle_pool() -> dict[str, str]:
                       [1,0], [24,0], [0,0,0,0],
                       list_transform(range(4), i -> ((w*3*h) >> CAST(8*i AS INT)) & 255),
                       [0,0,0,0], [0,0,0,0], [0,0,0,0], [0,0,0,0]
-                    ]), b -> lpad(to_hex(b), 2, '0')), ''))
-                    || substr(repeat(
-                         array_to_string(list_transform(range(48), j ->
-                           substr(dhex, CAST(2*((3*(j//3) + 2 - (j%3)) % 16) + 1 AS INT), 2)
-                         ), ''),
-                         CAST((w*h*3 + 47) // 48 AS INT)), 1, CAST(2*w*h*3 AS INT))
+                    ])
                   WHEN 'audio' THEN
-                    lower(array_to_string(list_transform(flatten([
+                    flatten([
                       [82,73,70,70],
                       list_transform(range(4), i -> ((36 + w*h*3) >> CAST(8*i AS INT)) & 255),
                       [87,65,86,69], [102,109,116,32], [16,0,0,0],
                       [1,0], [1,0], [128,62,0,0], [128,62,0,0], [1,0], [8,0],
                       [100,97,116,97],
                       list_transform(range(4), i -> ((w*h*3) >> CAST(8*i AS INT)) & 255)
-                    ]), b -> lpad(to_hex(b), 2, '0')), ''))
-                    || substr(repeat(dhex, CAST((w*h*3 + 15) // 16 AS INT)),
-                              1, CAST(2*w*h*3 AS INT))
-                  ELSE thex
-                END AS hx
-              FROM m
+                    ])
+                  ELSE
+                    flatten([
+                      [82,73,70,70],
+                      list_transform(range(4), i ->
+                        ((216 + nf*(8 + w*3*h)) >> CAST(8*i AS INT)) & 255),
+                      [65,86,73,32],
+                      [76,73,83,84], [192,0,0,0], [104,100,114,108],
+                      [97,118,105,104], [56,0,0,0],
+                      [160,134,1,0], [0,0,0,0], [0,0,0,0], [0,0,0,0],
+                      list_transform(range(4), i -> (nf >> CAST(8*i AS INT)) & 255),
+                      [0,0,0,0], [1,0,0,0], [0,0,0,0],
+                      list_transform(range(4), i -> (w >> CAST(8*i AS INT)) & 255),
+                      list_transform(range(4), i -> (h >> CAST(8*i AS INT)) & 255),
+                      [0,0,0,0], [0,0,0,0], [0,0,0,0], [0,0,0,0],
+                      [76,73,83,84], [116,0,0,0], [115,116,114,108],
+                      [115,116,114,104], [56,0,0,0],
+                      [118,105,100,115], [68,73,66,32],
+                      [0,0,0,0], [0,0], [0,0], [0,0,0,0],
+                      [1,0,0,0], [10,0,0,0], [0,0,0,0],
+                      list_transform(range(4), i -> (nf >> CAST(8*i AS INT)) & 255),
+                      [0,0,0,0], [0,0,0,0], [0,0,0,0],
+                      [0,0], [0,0],
+                      list_transform(range(2), i -> (w >> CAST(8*i AS INT)) & 255),
+                      list_transform(range(2), i -> (h >> CAST(8*i AS INT)) & 255),
+                      [115,116,114,102], [40,0,0,0], [40,0,0,0],
+                      list_transform(range(4), i -> (w >> CAST(8*i AS INT)) & 255),
+                      list_transform(range(4), i ->
+                        ((4294967296 - h) >> CAST(8*i AS INT)) & 255),
+                      [1,0], [24,0], [0,0,0,0],
+                      list_transform(range(4), i -> (w*3*h >> CAST(8*i AS INT)) & 255),
+                      [0,0,0,0], [0,0,0,0], [0,0,0,0], [0,0,0,0],
+                      [76,73,83,84],
+                      list_transform(range(4), i ->
+                        ((4 + nf*(8 + w*3*h)) >> CAST(8*i AS INT)) & 255),
+                      [109,111,118,105]
+                    ])
+                END AS hdr,
+                CASE kind
+                  WHEN 'image' THEN
+                    substr(repeat(
+                      array_to_string(list_transform(range(48), j ->
+                        substr(dhex, CAST(2*((3*(j//3) + 2 - (j%3)) % 16) + 1 AS INT), 2)
+                      ), ''),
+                      CAST((w*h*3 + 47) // 48 AS INT)), 1, CAST(2*w*h*3 AS INT))
+                  WHEN 'audio' THEN
+                    substr(repeat(dhex, CAST((w*h*3 + 15) // 16 AS INT)),
+                           1, CAST(2*w*h*3 AS INT))
+                  ELSE COALESCE(fhex, '')
+                END AS body_hex,
+                CASE kind
+                  WHEN 'video' THEN COALESCE(fsum, 0)
+                  -- image pixel section is the period-48 BGR permutation
+                  -- of the tiled digest (sum-invariant; w*h*3 divisible
+                  -- by 48), audio is the straight tiling — both sum to
+                  -- (w*h*3/16) * sum(digest bytes)
+                  ELSE (w*h*3 // 16) * list_sum(list_transform(range(16), i ->
+                         ('0x' || substr(dhex, CAST(2*i + 1 AS INT), 2))::BIGINT))
+                END AS body_sum
+              FROM m LEFT JOIN vf USING (media_id)
             ), sized AS (
-              SELECT media_id, kind, hx,
-                     CAST(length(hx) // 2 AS BIGINT) AS n
+              SELECT media_id, kind,
+                     lower(array_to_string(list_transform(hdr, b ->
+                       lpad(to_hex(b), 2, '0')), '')) || body_hex AS hx,
+                     CAST(list_sum(hdr) + body_sum AS BIGINT) AS byte_sum
               FROM built
-            ), bs AS (
-              SELECT media_id,
-                     CAST(sum(('0x' || substr(hx, CAST(2*i - 1 AS INT), 2))::INT)
-                          AS BIGINT) AS byte_sum
-              FROM (SELECT media_id, hx, unnest(generate_series(1, n)) AS i
-                    FROM sized)
-              GROUP BY media_id
             )
-            SELECT s.media_id, s.kind, CAST(s.n AS INT) AS n_bytes,
-                   COALESCE(bs.byte_sum, 0) AS byte_sum,
-                   CASE WHEN s.n > 0
-                        THEN ('0x' || substr(s.hx, 1, 2))::INT ELSE -1
-                   END AS first_byte,
-                   CASE WHEN s.n > 0
-                        THEN ('0x' || substr(s.hx, CAST(2*s.n - 1 AS INT), 2))::INT
-                        ELSE -1
-                   END AS last_byte,
-                   ('0x' || substr(md5(s.hx), 1, 8))::BIGINT AS md5i
-            FROM sized s LEFT JOIN bs USING (media_id)
+            SELECT media_id, kind,
+                   CAST(length(hx) // 2 AS INT) AS n_bytes,
+                   byte_sum,
+                   ('0x' || substr(hx, 1, 2))::INT AS first_byte,
+                   ('0x' || substr(hx, CAST(length(hx) - 1 AS INT), 2))::INT
+                     AS last_byte,
+                   ('0x' || substr(md5(hx), 1, 8))::BIGINT AS md5i
+            FROM sized
         """,
         "mm_resize": """
             WITH m AS (
@@ -1606,7 +1761,7 @@ def _oracle_pool() -> dict[str, str]:
                        AS page_text
               FROM documents
             ), tk AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM base
+              SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks FROM base
             ), bg AS (
               SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
               FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
@@ -1742,13 +1897,13 @@ def _oracle_pool() -> dict[str, str]:
                           ELSE text END AS t
               FROM documents WHERE doc_id % 97 <> 0
             ), btk AS (
-              SELECT string_split_regex(trim(t), '\s+') AS toks FROM bench
+              SELECT string_split_regex(trim(t), '[ \t\n\x0B\f\r]+') AS toks FROM bench
             ), bg AS (
               SELECT DISTINCT array_to_string(toks[i:i+12], ' ') AS g
               FROM btk, unnest(generate_series(1, len(toks) - 12)) AS u(i)
               WHERE len(toks) >= 13
             ), ctk AS (
-              SELECT doc_id, string_split_regex(trim(t), '\s+') AS toks FROM corp
+              SELECT doc_id, string_split_regex(trim(t), '[ \t\n\x0B\f\r]+') AS toks FROM corp
             ), cg AS (
               SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS g
               FROM ctk, unnest(generate_series(1, len(toks) - 12)) AS u(i)
@@ -1851,7 +2006,18 @@ def _oracle_pool_extra() -> dict[str, str]:
         "emb_canonical": oracles.canonical_embeddings_oracle(
             dim=64, num_planes=6, threshold=0.3, seed=42
         ),
+        # trained-quantizer IVF recall: the SAME deterministic k-means
+        # centroids the engine query uses (pure function of the shipped
+        # sf0.01 sample file) inlined as literals, with dual corpus
+        # assignment replayed via rn <= 2
         "ann_ivf_recall": oracles.ann_ivf_recall_oracle(
+            dim=64, k=5, nprobe=3, n_queries=20,
+            centroids=similarity.ivf_trained_centroids(
+                _TRAINED_QUANTIZER_PATH, n_lists=8, seed=42
+            ),
+            n_assign=2,
+        ),
+        "ann_ivf_recall_seeded": oracles.ann_ivf_recall_oracle(
             dim=64, n_lists=8, k=5, nprobe=3, seed=42, n_queries=20
         ),
         "docs_mixture_repeat": """

@@ -56,6 +56,18 @@ class PPRLConfig:
     # petabytes there and the join must stay a shuffled (bucketed) join.
     # AQE cannot infer this itself: the pandas-UDF encoder hides the size.
     broadcast_blooms: bool = False
+    # CLK wire format for the Dice pair stream: "dense" ships each filter
+    # as ceil(m/64) packed int64 words (fixed 376 B at m=3000, ~85% zero
+    # bytes for short attributes); "sparse" ships the sorted SET-BIT
+    # POSITIONS as array<smallint> (2 B per set bit — typically 30-150
+    # bits for name-like attributes, so 3-6x fewer raw bytes per pair on
+    # the engine's dominant shuffle). Dice semantics are IDENTICAL:
+    # |a AND b| = size(array_intersect(positions)), cardinality =
+    # size(positions) — same integers, same match set (equivalence
+    # property test in tests/test_matching.py). HLSH bit-segment keys
+    # need the dense words; hlsh paths pin representation="dense".
+    # Default decided by the isolated-stage A/B in BENCH/BASELINE.md.
+    bloom_representation: str = "dense"
     salt_buckets: int = 0                        # >0: salt hot groupBy keys
     # meta-blocking edge pruning (north-star; reference has none):
     # keep a candidate pair only if it co-occurs in >= min_cbs_weight blocks

@@ -97,6 +97,42 @@ def bloom_udf(cfg: PPRLConfig):
     return _encode
 
 
+def sparse_positions_value(value: str | None, cfg: PPRLConfig) -> list[int]:
+    """Encode one attribute value as its sorted distinct set-bit
+    POSITIONS (the sparse CLK wire format; see
+    ``PPRLConfig.bloom_representation``). Same gram/hash semantics as
+    ``encode_value`` — the dense words are exactly the bitset of these
+    positions (equivalence property test in tests/test_matching.py)."""
+    if value is None or len(value) <= 1:
+        return []
+    q = cfg.ngram_size
+    padded = ("#" * (q - 1)) + value.strip() + ("%" * (q - 1))
+    m = cfg.bloom_m
+    k = cfg.hash_functions
+    positions: set[int] = set()
+    for i in range(len(padded) - q + 1):
+        positions.update(gram_bit_positions(padded[i : i + q], m, k))
+    return sorted(positions)
+
+
+def sparse_bloom_udf(cfg: PPRLConfig):
+    """pandas UDF: string column -> array<smallint> of sorted set-bit
+    positions (positions < bloom_m = 3000 fit int16 — 2 bytes per set
+    bit on the Arrow wire and in the shuffle)."""
+    assert cfg.bloom_m <= 32767, "sparse smallint positions need m < 2^15"
+
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def _encode(values: pd.Series) -> pd.Series:
+        uniques = pd.unique(values)
+        table = {
+            v: np.asarray(sparse_positions_value(v, cfg), dtype=np.int16)
+            for v in uniques
+        }
+        return values.map(table)
+
+    return _encode
+
+
 # ---------------------------------------------------------------------------
 # Pure-Catalyst bitset math (matcher hot path — no Python)
 # ---------------------------------------------------------------------------
@@ -115,6 +151,19 @@ def intersection_count_expr(f1: Column, f2: Column) -> Column:
         F.lit(0),
         lambda acc, x: acc + x,
     )
+
+
+def sparse_card_expr(positions: Column | str) -> Column:
+    """Cardinality of a sparse filter = its position count."""
+    c = F.col(positions) if isinstance(positions, str) else positions
+    return F.size(c)
+
+
+def sparse_intersection_count_expr(p1: Column, p2: Column) -> Column:
+    """|a AND b| for two sparse position arrays: the positions are
+    distinct within each filter, so set-intersection size IS the
+    bitset-AND popcount — one JVM ArrayIntersect per pair, no Python."""
+    return F.size(F.array_intersect(p1, p2))
 
 
 def dice_pass_expr(inter: Column, card1: Column, card2: Column, threshold: float) -> Column:

@@ -15,20 +15,25 @@ every (left, right-earlier) pair before aggregating the max.
 Hot keys: per-key ordering is inherent to as-of semantics, so the plain
 window serializes a pathologically hot ``by`` key into one task. The
 DEFAULT (``bucket_width_seconds="auto"``) guards against this with a
-slim pre-pass (one aggregation job over just the key+time columns of
-both sides): if the hottest key's row count exceeds
+SKETCH-first pre-pass (``_auto_bucket_width``): a seeded 1-in-32 hash
+sample of just the key+time columns of both sides estimates the hottest
+key's row count; if the (scaled) estimate clearly exceeds
 ``max(50_000, 4 * total / shuffle_partitions)`` — i.e. one window task
 would carry both a multiple of its fair share and enough rows to
 matter — the plan flips to the salted two-phase variant below with a
-derived width of ``(t_max - t_min) / (4 * shuffle_partitions)``.
-Otherwise the plain one-shuffle plan runs. Pass ``None`` to force the
-plain plan (skips the pre-pass job), or a number to force the bucketed
-plan with that width. The pre-pass costs one column-pruned scan of both
-inputs (measured +0.4s on the sf0.1 events_asof_attribution bench line;
-AQE-style runtime statistics are the alternative, but Spark exposes no
-plan-rewrite hook at this layer) — the price of never serializing a hot
-key into one multi-hour task at cluster scale; callers who know their
-key histogram opt out with ``None``.
+derived width of ``(t_max - t_min) / (4 * shuffle_partitions)``; if it
+is clearly below, the plain one-shuffle plan runs; only a borderline
+estimate (within 0.5-2x of the threshold) re-runs the aggregation
+exactly on the full projection. Pass ``None`` to force the plain plan
+(skips the guard job entirely), or a number to force the bucketed plan
+with that width. The guard costs one column-pruned scan of both inputs
+with 1/32 of the aggregation work (AQE-style runtime statistics are
+the alternative, but Spark exposes no plan-rewrite hook at this layer)
+— the price of never serializing a hot key into one multi-hour task at
+cluster scale; callers who know their key histogram opt out with
+``None``. NOTE: the guard runs Spark jobs at DataFrame-construction
+time (see ``asof_join``'s eager-evaluation note); streaming inputs
+skip it.
 
 The two-phase variant: the
 timeline splits into fixed buckets, phase 1 pre-aggregates the right
@@ -57,6 +62,13 @@ from pyspark.sql import types as T
 _AUTO_SKEW_FLOOR = 50_000
 # hot key must also exceed this multiple of the fair per-partition share
 _AUTO_SKEW_FACTOR = 4
+# skew SKETCH: a seeded 1-in-N hash sample of the slim (by, t) projection
+# decides the plan; only a borderline estimate (within _SKETCH_BAND of the
+# threshold) falls back to the exact pre-pass. At rate 1/32 a key at the
+# 50k floor draws ~1.5k sample rows (sigma ~40, <3% relative), so the
+# band is generous.
+_SKETCH_RATE = 32
+_SKETCH_BAND = (0.5, 2.0)
 
 
 def _epoch_seconds(c: Column, dt: T.DataType) -> Column:
@@ -68,15 +80,8 @@ def _epoch_seconds(c: Column, dt: T.DataType) -> Column:
     return c.cast("double")
 
 
-def _auto_bucket_width(l_t: DataFrame, r_t: DataFrame, bys: list[str]) -> float | None:
-    """Skew pre-pass for the auto plan choice: one aggregation job over
-    the slim (by, _t) projection of both sides (the exact row set the
-    as-of window would partition by key). Returns a derived bucket width
-    when the key histogram is degenerate, else None (plain plan)."""
-    spark = l_t.sparkSession
-    parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
-    t_dbl = _epoch_seconds(F.col("_t"), l_t.schema["_t"].dataType)
-    slim = l_t.select(*bys, "_t").unionByName(r_t.select(*bys, "_t"))
+def _key_stats(slim: DataFrame, bys: list[str], t_dbl) -> tuple:
+    """(hot, total, lo, hi) of a (by, _t) frame in one aggregation job."""
     per_key = slim.groupBy(*bys).agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(t_dbl).alias("_lo"),
@@ -88,12 +93,58 @@ def _auto_bucket_width(l_t: DataFrame, r_t: DataFrame, bys: list[str]) -> float 
         F.min("_lo").alias("lo"),
         F.max("_hi").alias("hi"),
     ).collect()[0]
-    if row["hot"] is None:
+    return row["hot"], row["total"], row["lo"], row["hi"]
+
+
+def _auto_bucket_width(l_t: DataFrame, r_t: DataFrame, bys: list[str]) -> float | None:
+    """Skew guard for the auto plan choice, SKETCH-first: a seeded
+    1-in-``_SKETCH_RATE`` hash sample of the slim (by, _t) projection of
+    both sides estimates the hottest key's row count (scaled by the
+    rate); per-row hashing keeps the sample i.i.d. within keys, so
+    estimates concentrate tightly at the decision sizes (see
+    ``_SKETCH_RATE``). A clear verdict — hot estimate outside
+    ``_SKETCH_BAND`` of the flip threshold — decides the plan from the
+    sample alone; only a borderline read re-runs the aggregation on the
+    full projection (the round-4 exact pre-pass). Returns a derived
+    bucket width when the key histogram is degenerate, else None
+    (plain plan).
+
+    Both passes still SCAN the slim projection once (no job avoids the
+    read); the sketch removes almost all of the aggregation work — the
+    hash filter evaluates per row and the partial-agg hash map sees
+    1/rate of the rows."""
+    spark = l_t.sparkSession
+    parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    t_dbl = _epoch_seconds(F.col("_t"), l_t.schema["_t"].dataType)
+    slim = l_t.select(*bys, "_t").unionByName(r_t.select(*bys, "_t"))
+
+    sample = slim.where(
+        F.pmod(F.xxhash64(*bys, F.col("_t"), F.lit(982_451_653)), F.lit(_SKETCH_RATE))
+        == 0
+    )
+    s_hot, s_total, s_lo, s_hi = _key_stats(sample, bys, t_dbl)
+    if s_hot is None:
+        # empty sample => total < ~rate*ln(...) rows of any key — far
+        # below the flip floor either way
         return None
-    threshold = max(_AUTO_SKEW_FLOOR, _AUTO_SKEW_FACTOR * row["total"] // parts)
-    if row["hot"] <= threshold or row["lo"] is None or row["hi"] <= row["lo"]:
+    hot_est, total_est = s_hot * _SKETCH_RATE, s_total * _SKETCH_RATE
+    threshold = max(_AUTO_SKEW_FLOOR, _AUTO_SKEW_FACTOR * total_est // parts)
+    if hot_est <= _SKETCH_BAND[0] * threshold:
+        return None
+    if hot_est >= _SKETCH_BAND[1] * threshold and s_hi > s_lo:
+        # sample min/max slightly understate the true time range; for a
+        # bucket width that only has to spread a hot key over ~4*parts
+        # buckets, that bias is irrelevant
+        return (s_hi - s_lo) / float(_AUTO_SKEW_FACTOR * parts)
+
+    # borderline (or degenerate sampled time range): exact pre-pass
+    hot, total, lo, hi = _key_stats(slim, bys, t_dbl)
+    if hot is None:
+        return None
+    threshold = max(_AUTO_SKEW_FLOOR, _AUTO_SKEW_FACTOR * total // parts)
+    if hot <= threshold or lo is None or hi <= lo:
         return None  # uniform enough / no time spread to split on
-    return (row["hi"] - row["lo"]) / float(_AUTO_SKEW_FACTOR * parts)
+    return (hi - lo) / float(_AUTO_SKEW_FACTOR * parts)
 
 
 def asof_join(
@@ -111,12 +162,21 @@ def asof_join(
     ``right_cols`` limits the attached payload (default: all non-key
     right columns). ``tolerance_seconds`` drops matches older than the
     window (null attach instead), like pandas ``merge_asof`` tolerance.
-    ``bucket_width_seconds``: ``"auto"`` (default) runs the slim skew
-    pre-pass and picks the plan (module docstring); ``None`` forces the
+    ``bucket_width_seconds``: ``"auto"`` (default) runs the sketch-first
+    skew guard and picks the plan (module docstring); ``None`` forces the
     plain one-shuffle plan; a number forces the hot-key-safe two-phase
     plan with that width — pick one that gives a hot key tens-to-
     hundreds of occupied buckets. Output: every left column, then
     ``{on}{suffix}`` plus each right payload column as ``{col}{suffix}``.
+
+    **The default triggers eager evaluation**: ``"auto"`` runs one (or,
+    on a borderline sketch read, two) Spark jobs over the (by, time)
+    projection of both inputs AT DATAFRAME-CONSTRUCTION TIME, and the
+    plan choice is frozen then. On expensive un-cached lineages that
+    projection recomputes both upstream pipelines — cache the inputs
+    first, or pass ``None``/a number to keep construction fully lazy.
+    Streaming inputs skip the guard entirely (no pre-pass job is
+    possible mid-plan): the plain plan is used unless a width is given.
     """
     bys = list(by)
     rcols = right_cols or [c for c in right.columns if c not in bys + [on]]
@@ -153,7 +213,10 @@ def asof_join(
     )
 
     if bucket_width_seconds == "auto":
-        bucket_width_seconds = _auto_bucket_width(l_t, r_t, bys)
+        if left.isStreaming or right.isStreaming:
+            bucket_width_seconds = None  # no pre-pass job on a stream
+        else:
+            bucket_width_seconds = _auto_bucket_width(l_t, r_t, bys)
 
     if bucket_width_seconds is None:
         # right rows sort BEFORE left rows at equal time (_src desc), so

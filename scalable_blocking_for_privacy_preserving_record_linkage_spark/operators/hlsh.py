@@ -25,10 +25,18 @@ from pyspark.sql import functions as F
 from ..config import PPRLConfig
 
 
-def _bit_expr(cols: list[str], pos: int, m: int):
-    """Bit ``pos`` of the virtual concatenation of per-attribute filters
-    (each an array<bigint> of ceil(m/64) words)."""
+def _bit_expr(cols: list[str], pos: int, m: int, sparse: bool = False):
+    """Bit ``pos`` of the virtual concatenation of per-attribute filters.
+
+    Dense layout (array<bigint> of ceil(m/64) words): word shift + mask.
+    Sparse layout (array<smallint> of sorted set-bit positions, see
+    PPRLConfig.bloom_representation): membership test — same bit, same
+    key, either wire format."""
     seg, off = divmod(pos, m)
+    if sparse:
+        return F.array_contains(
+            F.col(cols[seg]), F.lit(off).cast("smallint")
+        ).cast("int")
     word, bit = divmod(off, 64)
     return (
         F.shiftrightunsigned(F.element_at(F.col(cols[seg]), word + 1), bit)
@@ -62,13 +70,18 @@ def hlsh_keys(
             f"bits_per_key={bits_per_key} exceeds total filter bits {n * m}"
         )
     cols = [f"bloom_{i+1}" for i in range(n)]
+    from pyspark.sql.types import ShortType
+
+    sparse = isinstance(blooms.schema[cols[0]].dataType.elementType, ShortType)
     rng = np.random.default_rng(seed * 1_000 + 77)
     passes = []
     for p in range(num_passes):
         positions = rng.choice(n * m, size=bits_per_key, replace=False)
         key = F.lit(0).cast("bigint")
         for j, pos in enumerate(sorted(int(x) for x in positions)):
-            key = key + F.shiftleft(_bit_expr(cols, pos, m).cast("bigint"), j)
+            key = key + F.shiftleft(
+                _bit_expr(cols, pos, m, sparse).cast("bigint"), j
+            )
         passes.append(F.struct(F.lit(p).alias("pass"), key.alias("key")))
     return blooms.select(
         "recordID",

@@ -20,25 +20,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ShortType
 
 from ..config import PPRLConfig
 from ..functions import bloom
 
 
-def encode_blooms(records: DataFrame, cfg: PPRLConfig) -> DataFrame:
+def encode_blooms(
+    records: DataFrame, cfg: PPRLConfig, representation: str | None = None
+) -> DataFrame:
     """(id, party, attr1..attrN, …) -> (recordID, party, bloom_i, card_i).
 
     One filter per blocking attribute (MetaBlocking.java:83-85); cardinality
-    precomputed so Dice needs no per-pair popcount of the operands.
+    precomputed AT ENCODE TIME so the Dice denominator never recomputes
+    per pair and only (bloom, card) rides the pair stream.
+
+    ``representation`` (default ``cfg.bloom_representation``) picks the
+    wire format: "dense" packed int64 words or "sparse" sorted smallint
+    set-bit positions — identical match semantics, 3-6x fewer raw bytes
+    per pair on the sparse stream for name-like attributes (see
+    PPRLConfig.bloom_representation and the A/B in BENCH/BASELINE.md).
+    Paths that consume the word layout itself (HLSH bit segments) pass
+    representation="dense" explicitly.
     """
-    udf = bloom.bloom_udf(cfg)
+    rep = representation or cfg.bloom_representation
+    udf = bloom.sparse_bloom_udf(cfg) if rep == "sparse" else bloom.bloom_udf(cfg)
     out = records.select(
         F.col(cfg.id_col).cast("string").alias("recordID"),
         "party",
         *[udf(F.col(a).cast("string")).alias(f"bloom_{i+1}") for i, a in enumerate(cfg.blocking_attrs)],
     )
+    card = bloom.sparse_card_expr if rep == "sparse" else bloom.popcount_expr
     for i in range(cfg.num_attrs):
-        out = out.withColumn(f"card_{i+1}", bloom.popcount_expr(f"bloom_{i+1}"))
+        out = out.withColumn(f"card_{i+1}", card(f"bloom_{i+1}"))
     return out
 
 
@@ -123,10 +137,18 @@ def score_joined(
     n = cfg.num_attrs
     passes = []
     sims = []
+    # dispatch on the ACTUAL column type, not cfg: a frame encoded with an
+    # explicit representation= override scores correctly regardless
+    sparse = isinstance(
+        joined.schema["bloomA_1"].dataType.elementType, ShortType
+    )
+    inter_expr = (
+        bloom.sparse_intersection_count_expr
+        if sparse
+        else bloom.intersection_count_expr
+    )
     for i in range(1, n + 1):
-        inter = bloom.intersection_count_expr(
-            F.col(f"bloomA_{i}"), F.col(f"bloomB_{i}")
-        )
+        inter = inter_expr(F.col(f"bloomA_{i}"), F.col(f"bloomB_{i}"))
         passes.append(
             bloom.dice_pass_expr(
                 inter, F.col(f"cardA_{i}"), F.col(f"cardB_{i}"), cfg.matching_threshold

@@ -2,7 +2,8 @@
 ``binary`` payloads with typed metadata, processed by Arrow-batched
 ``mapInPandas`` kernels.
 
-Decode status per modality (see :func:`_decode_backend`):
+Decode status per modality (see :func:`_decode_backend`) — ALL REAL as
+of round 5:
 
 * **image — REAL**: payloads are valid 24-bit BMP files, decoded by the
   dependency-free byte-offset decoder in ``functions/codecs.py``
@@ -10,9 +11,17 @@ Decode status per modality (see :func:`_decode_backend`):
   pixel-data offset).
 * **audio — REAL**: payloads are valid PCM WAV files (RIFF chunk walk,
   8/16-bit).
-* **video — declared fake**: no container video codec can be written
-  dependency-free; frames decode via the deterministic ``fakecodec``
-  (md5-digest tiling), clearly marked, swappable at this one seam.
+* **video — REAL**: payloads are valid uncompressed 24-bit DIB AVI files
+  ('vids'/'DIB ' stream, one '00db' chunk per frame), decoded by the
+  general RIFF walk in ``functions/codecs.py`` (both row orders, row
+  padding, unknown-chunk skipping).
+
+Corrupt payloads QUARANTINE instead of crashing the job: the decoders
+validate header-declared sizes against the buffer and raise ValueError,
+and :func:`extract_features` converts that per-row into
+``decode_ok = 0`` with zeroed features — the behavior a feature pass
+over 100 TB of untrusted bytes needs (one bad row must not kill a
+stage).
 
 Media table schema (the multimodal analogue of the pages table):
 
@@ -41,7 +50,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.codecs import decode_bmp, decode_wav, encode_bmp, encode_wav
+from ..functions.codecs import (
+    decode_avi,
+    decode_bmp,
+    decode_wav,
+    encode_avi,
+    encode_bmp,
+    encode_wav,
+)
 from ..sources.io import ensure_parallelism
 
 MEDIA_META = T.StructType(
@@ -65,11 +81,9 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def _decode_backend() -> dict[str, str]:
-    """Decode backend per modality: image and audio are REAL
-    dependency-free decoders (functions/codecs.py); video keeps the
-    declared deterministic fake — this mapping is the single seam a
-    container video codec would slot into."""
-    return {"image": "bmp", "audio": "wav", "video": "fakecodec"}
+    """Decode backend per modality — all three are REAL dependency-free
+    container decoders in functions/codecs.py (no fake path remains)."""
+    return {"image": "bmp", "audio": "wav", "video": "avi"}
 
 
 def _tiled_digest(seed: bytes, n: int) -> np.ndarray:
@@ -83,9 +97,14 @@ def _tiled_digest(seed: bytes, n: int) -> np.ndarray:
     return np.frombuffer((digest * reps)[:n], dtype=np.uint8)
 
 
-def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Declared-fake video decode: digest-tiled pixel buffer."""
-    return _tiled_digest(payload, width * height * 3).reshape(height, width, 3)
+def _frame_pixels(seed: bytes, frame_idx: int, width: int, height: int) -> np.ndarray:
+    """Synthesized content of video frame ``frame_idx``: the digest of
+    ``seed || '|frame|' || idx`` tiled over the (h, w, 3) pixel buffer —
+    ASCII suffix so the DuckDB oracle rebuilds each frame's digest as
+    md5(text || '|frame|' || idx)."""
+    return _tiled_digest(
+        seed + f"|frame|{frame_idx}".encode(), width * height * 3
+    ).reshape(height, width, 3)
 
 
 def _media_dims(doc_id: int) -> tuple[str, int, int, int, int]:
@@ -102,15 +121,17 @@ def _media_dims(doc_id: int) -> tuple[str, int, int, int, int]:
 def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministically derive a media table from any (id, text) table.
 
-    Image rows carry a REAL 24-bit BMP payload and audio rows a REAL
-    8-bit PCM WAV payload — both containing the md5(text) digest tiled
-    over the sample buffer (w*h*3 bytes), so downstream features remain
-    closed forms of ``md5(text)`` while the decode path exercises real
-    container parsing. Video rows keep the raw utf-8 text bytes (the
-    video decode is the declared fake). kind/dimensions derive from the
-    id so the table covers all three modalities.
+    Image rows carry a REAL 24-bit BMP payload, audio rows a REAL 8-bit
+    PCM WAV payload (both containing the md5(text) digest tiled over the
+    w*h*3 sample buffer), and video rows a REAL uncompressed-DIB AVI
+    whose frame ``f`` contains the md5(text || '|frame|' || f) digest
+    tiled over its own (h, w, 3) buffer — so every downstream feature
+    stays a closed form of md5 hex the DuckDB oracle recomputes, while
+    the decode path exercises real container parsing for all three
+    modalities. kind/dimensions derive from the id so the table covers
+    all three.
     """
-    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "x-fake/video"}
+    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/avi"}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,7 +146,10 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
                 elif kind == "audio":
                     payload = encode_wav(_tiled_digest(seed, w * h * 3), sr, bits=8)
                 else:
-                    payload = seed
+                    frames = np.stack(
+                        [_frame_pixels(seed, f, w, h) for f in range(nf)]
+                    )
+                    payload = encode_avi(frames, top_down=True)
                 ids.append(doc_id)
                 kinds.append(kind)
                 payloads.append(payload)
@@ -149,28 +173,35 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 _FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes int, mean double, std double, "
-    "phash long"
+    "phash long, decode_ok int"
 )
 
 
-def _decode_samples(kind: str, payload: bytes, w: int, h: int) -> np.ndarray:
-    """Flat uint8 sample buffer per modality: REAL BMP decode for images,
-    REAL WAV decode for audio, declared fake for video (see
-    :func:`_decode_backend`)."""
+def _decode_samples(kind: str, payload: bytes) -> np.ndarray:
+    """Flat uint8 sample buffer per modality — REAL container decode for
+    all three (functions/codecs.py): BMP pixels for images, PCM samples
+    for audio, every frame's pixels concatenated for video."""
     if kind == "image":
         return decode_bmp(payload).reshape(-1)
     if kind == "audio":
         samples, _sr = decode_wav(payload)
         return np.asarray(samples, dtype=np.uint8)
-    return _fake_pixels(payload, w, h).reshape(-1)
+    return decode_avi(payload).reshape(-1)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract each payload (Arrow-batched mapInPandas).
 
-    Output: (media_id, kind, n_bytes, mean, std, phash). Image payloads
-    go through the REAL BMP decoder and audio payloads through the REAL
-    WAV decoder (functions/codecs.py); only video uses the declared fake.
+    Output: (media_id, kind, n_bytes, mean, std, phash, decode_ok). All
+    three modalities go through the REAL container decoders in
+    functions/codecs.py (BMP / WAV / uncompressed-DIB AVI; video samples
+    are all frames' pixels concatenated).
+
+    **Quarantine, don't crash**: a payload whose container fails to
+    decode (truncated, hostile dims, wrong magic) yields ``decode_ok=0``
+    with zeroed features instead of failing the task — at 100-TB scale
+    one corrupt row must not kill the stage; callers filter or route on
+    ``decode_ok``.
 
     mean/std are computed from exact integer sample sums (then one float
     division / sqrt), and phash compares integer samples against the
@@ -179,7 +210,8 @@ def extract_features(media: DataFrame) -> DataFrame:
     IEEE results from the same closed forms over the md5 digest bytes
     (the synthesized decoded content; see ``synthesize_media``).
     phash: sign bits of 64 evenly-strided channel-0 samples vs their mean
-    (a downsample-and-threshold perceptual-hash stand-in), low 63 bits.
+    (a downsample-and-threshold perceptual-hash stand-in), low 63 bits —
+    strided over the FIRST w*h pixels, i.e. frame 0 for video.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -192,17 +224,22 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "mean": np.zeros(n, dtype=np.float64),
                 "std": np.zeros(n, dtype=np.float64),
                 "phash": np.zeros(n, dtype=np.int64),
+                "decode_ok": np.zeros(n, dtype=np.int32),
             }
             for i, (kind, payload, meta) in enumerate(
                 zip(pdf["kind"], pdf["payload"], pdf["meta"])
             ):
                 w, h = int(meta["width"]), int(meta["height"])
-                buf = _decode_samples(kind, bytes(payload), w, h)
+                raw = bytes(payload)
+                out["n_bytes"][i] = len(raw)
+                try:
+                    buf = _decode_samples(kind, raw)
+                except ValueError:
+                    continue  # decode_ok stays 0, features stay zeroed
                 nsm = buf.size
                 s = int(buf.sum(dtype=np.int64))
                 s2 = int((buf.astype(np.int64) ** 2).sum())
                 mean = s / nsm
-                out["n_bytes"][i] = len(payload)
                 out["mean"][i] = mean
                 out["std"][i] = float(np.sqrt(max(0.0, s2 / nsm - mean * mean)))
                 flat_c0 = buf.reshape(-1, 3)[:, 0]
@@ -213,6 +250,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 out["phash"][i] = int(
                     sum(int(b) << j for j, b in enumerate(bits))
                 )
+                out["decode_ok"][i] = 1
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, schema=_FEATURE_SCHEMA)
@@ -322,29 +360,28 @@ _FRAME_SCHEMA = "media_id long, frame_idx int, frame_mean double"
 
 
 def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
-    """Sample frames from video payloads: one output row per kept frame."""
-    assert _decode_backend()["video"] == "fakecodec"  # declared-fake seam
+    """Sample frames from video payloads: one output row per kept frame,
+    REAL-decoded from the AVI container (functions/codecs.py) — the
+    frame-sampling primitive of a video training pipeline, run over the
+    actual '00db' DIB chunks, not metadata."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, means = [], [], []
-            for mid, kind, payload, meta in zip(
-                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 if kind != "video":
                     continue
-                w, h = int(meta["width"]), int(meta["height"])
-                nf = int(meta["n_frames"])
-                for f_idx in range(0, nf, every):
-                    # ASCII frame suffix so the oracle can rebuild the
-                    # per-frame digest as md5(text || '|frame|' || idx)
-                    frame = _fake_pixels(
-                        bytes(payload) + f"|frame|{f_idx}".encode(), w, h
-                    )
+                frames = decode_avi(bytes(payload))
+                for f_idx in range(0, len(frames), every):
+                    frame = frames[f_idx]
                     ids.append(int(mid))
                     idxs.append(f_idx)
                     # exact integer sum then one float division — same IEEE
                     # ops as the oracle's closed form over the digest bytes
+                    # (synthesized frame f content = md5(text||'|frame|'||f)
+                    # tiled; see synthesize_media)
                     means.append(int(frame.sum(dtype=np.int64)) / frame.size)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_mean": means})
 

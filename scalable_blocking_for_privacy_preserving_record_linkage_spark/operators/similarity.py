@@ -132,6 +132,68 @@ def ivf_build_centroids(
     return cents
 
 
+def ivf_trained_centroids(
+    parquet_path: str,
+    n_lists: int = 8,
+    seed: int = 42,
+    sample_cap: int = 2000,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """TRAINED coarse quantizer as a pure function of a parquet file —
+    deterministic spherical k-means with NO Spark and NO numpy-PRNG
+    dependence, so the resulting centroids can be inlined as literal
+    arrays into BOTH the engine probe and a DuckDB oracle (the same
+    replay trick as ``ivf_seeded_centroids`` / ``hyperplane_planes``,
+    but with data-dependent centroids and therefore production-grade
+    recall).
+
+    This is the offline index-build step of a real IVF deployment: train
+    once on a bounded sample (here the shipped sf0.001 embeddings file),
+    ship the centroids with the index, probe any corpus against them.
+
+    Determinism recipe (every step replayable from the file alone):
+    * sample = first ``sample_cap`` rows ordered by
+      ``md5(f"{seed}|{vec_id}")`` (seeded hash draw, no PRNG state);
+    * init = the first ``n_lists`` sampled vectors in that hash order;
+    * Lloyd iterations with argmax-dot assignment (ties -> lowest cid),
+      mean -> L2-normalize update, empty cluster keeps its centroid.
+    Results are memoized per (path, params) — callers may invoke this at
+    query-build AND oracle-build time and get identical literals.
+    """
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    key = (parquet_path, n_lists, seed, sample_cap, iters, id_col, vec_col)
+    hit = _TRAINED_CENTROID_MEMO.get(key)
+    if hit is not None:
+        return hit
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(f"{seed}|{ids[i]}".encode()).hexdigest(),
+    )[:sample_cap]
+    x = np.asarray([vecs[i] for i in order], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_lists].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)  # argmax ties -> lowest cid
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    _TRAINED_CENTROID_MEMO[key] = cents
+    return cents
+
+
+_TRAINED_CENTROID_MEMO: dict[tuple, np.ndarray] = {}
+
+
 def ivf_seeded_centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
     """Seeded random UNIT centroids — the data-independent coarse
     quantizer. Unlike ``ivf_build_centroids`` (k-means, data-dependent)
@@ -153,6 +215,7 @@ def ivf_recall_at_k(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_assign: int = 1,
 ) -> DataFrame:
     """Measured recall@k of the APPROXIMATE IVF regime (nprobe < n_lists)
     against the exact brute-force top-k on the same queries.
@@ -165,7 +228,7 @@ def ivf_recall_at_k(
     is a slim (query_id, neighbor_id) semi-join."""
     approx = ivf_topk(
         corpus, queries, centroids, k=k, nprobe=nprobe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, n_assign=n_assign,
     )
     exact = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     hits = (
@@ -259,6 +322,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignment: str = "auto",
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their nearest centroid's
     inverted list; each query probes its ``nprobe`` nearest lists only.
@@ -269,13 +333,21 @@ def ivf_topk(
     cosine re-ranks within the probed lists. List assignment is a literal
     expression for small nlist and an Arrow-batched broadcast-numpy
     scorer above ``_LITERAL_NLIST_MAX`` (``assignment`` forces either).
+
+    ``n_assign`` > 1 indexes each corpus vector in its ``n_assign``
+    nearest lists (redundant multi-assignment — the standard recall lever
+    when the corpus is near-isotropic and cell boundaries cut true
+    neighborhoods). Cost is explicit and linear: the stored index grows
+    ``n_assign``× and a pair found via two probed lists is deduplicated
+    before ranking (identical cosine both times, so the dedup is
+    deterministic).
     """
     spark = corpus.sparkSession
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(
-            _probe_lists_expr(spark, F.col(vec_col), centroids, 1, assignment), 1
+        F.explode(
+            _probe_lists_expr(spark, F.col(vec_col), centroids, n_assign, assignment)
         ).alias("list_id"),
     )
     q = queries.select(
@@ -294,6 +366,8 @@ def ivf_topk(
             F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
+    if n_assign > 1:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -45,7 +45,7 @@ from ..config import PPRLConfig
 
 RECORDS_CTES = """
 toks AS (
-  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ), recs0 AS (
   SELECT CAST(doc_id AS VARCHAR) AS id,
@@ -398,7 +398,7 @@ def simhash_oracle(max_hamming: int) -> str:
     verifies the pigeonhole recall guarantee, not just the verify step."""
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
   FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
 ),
 bitacc AS (
@@ -443,17 +443,22 @@ def ann_ivf_recall_oracle(
     nprobe: int = 2,
     seed: int = 42,
     n_queries: int = 20,
+    centroids=None,
+    n_assign: int = 1,
 ) -> str:
     """Oracle for the APPROXIMATE IVF regime (nprobe < n_lists): replays
-    the exact engine algorithm — identical seeded unit-centroid literals
-    (operators/similarity.py:ivf_seeded_centroids), argmax list assignment
-    with the engine's (score DESC, cid DESC) tie order, top-nprobe query
-    probes, exact-cosine re-rank inside the probed lists — then measures
+    the exact engine algorithm — identical centroid literals (seeded unit
+    vectors by default, or a TRAINED quantizer passed via ``centroids``,
+    e.g. operators/similarity.py:ivf_trained_centroids), argmax list
+    assignment with the engine's (score DESC, cid DESC) tie order,
+    top-``n_assign`` corpus multi-assignment, top-nprobe query probes,
+    pair dedup across probed lists, exact-cosine re-rank — then measures
     per-query recall against the brute-force top-k. Checks the recall
     BEHAVIOR of the approximation, not an idealized ANN answer."""
     from ..operators.similarity import ivf_seeded_centroids
 
-    cents = ivf_seeded_centroids(dim, n_lists, seed)
+    cents = centroids if centroids is not None else ivf_seeded_centroids(dim, n_lists, seed)
+    n_lists = len(cents)
     cent_rows = ", ".join(
         f"({c}, [{', '.join(repr(float(x)) for x in cents[c])}]::DOUBLE[])"
         for c in range(n_lists)
@@ -468,7 +473,7 @@ cassign AS (
            row_number() OVER (PARTITION BY b.vec_id
              ORDER BY list_dot_product(b.v, c.cv) DESC, c.cid DESC) AS rn
     FROM bv b CROSS JOIN cents c
-  ) WHERE rn = 1
+  ) WHERE rn <= {n_assign}
 ),
 qprobe AS (
   SELECT vec_id, cid FROM (
@@ -480,14 +485,19 @@ qprobe AS (
 ),
 approx AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-           row_number() OVER (PARTITION BY q.vec_id
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
              ORDER BY round(list_cosine_similarity(q.v, b.v), 6) DESC,
-                      b.vec_id) AS rank
-    FROM qprobe p
-    JOIN qv q ON q.vec_id = p.vec_id
-    JOIN cassign a ON a.cid = p.cid
-    JOIN bv b ON b.vec_id = a.vec_id AND b.vec_id <> q.vec_id
+                      neighbor_id) AS rank,
+           q.v AS _qv, b.v AS _bv
+    FROM (
+      SELECT DISTINCT q0.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM qprobe p
+      JOIN qv q0 ON q0.vec_id = p.vec_id
+      JOIN cassign a ON a.cid = p.cid AND a.vec_id <> q0.vec_id
+    ) pairs
+    JOIN qv q ON q.vec_id = pairs.query_id
+    JOIN bv b ON b.vec_id = pairs.neighbor_id
   ) WHERE rank <= {k}
 ),
 exact AS (

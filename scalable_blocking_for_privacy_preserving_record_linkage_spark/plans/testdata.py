@@ -25,7 +25,7 @@ TESTDATA_CFG = PPRLConfig(
 # DuckDB twin of records_from_documents (kept adjacent so they evolve together)
 RECORDS_ORACLE_SQL = """
 WITH toks AS (
-  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ), recs AS (
   SELECT CAST(doc_id AS VARCHAR) AS id,

@@ -237,8 +237,9 @@ def spark_party_records_distributed(
     The reference's own 800k experiments run on voter-roll names, which
     are nearly unique; this generator reproduces that regime with NO
     vocabulary table at all: attribute words are synthesized in pure
-    Catalyst from the base-25 syllable space (surname/name default to 5
-    syllables = 9.77M distinct words, city to 3 = 15,625 — cities are
+    Catalyst from the prefixed base-25 syllable space (surname/name
+    default to 5 syllables = 676*25^4 ≈ 264M distinct words, city to
+    3 = 676*25^2 = 422,500 — cities are
     genuinely low-cardinality and blocking only needs one diverse
     attribute to cover a pair), so name cardinality exceeds any entity
     count this sandbox can hold.

@@ -127,3 +127,66 @@ def test_negative_word_popcount(spark):
     w = [-(1 << 63)] + [0] * 46
     df = spark.createDataFrame([(w,)], "b1 array<bigint>")
     assert df.select(bloom.popcount_expr("b1").alias("c")).first()["c"] == 1
+
+
+def test_sparse_positions_equal_dense_bits():
+    """The sparse wire format is the SAME filter: positions(v) ==
+    set-bit positions of the dense words for every value, including the
+    <=1-char and None empties (sparse []) — plus the independent MD5
+    reconstruction."""
+    for v in ("SMITH", "ANNA", " A ", "", None, "O'BRIEN-McGEE", "X" * 40):
+        sp = bloom.sparse_positions_value(v, CFG)
+        assert sp == sorted(set(sp)), "positions sorted & distinct"
+        assert set(sp) == bits_of(bloom.encode_value(v, CFG))
+    assert set(bloom.sparse_positions_value("SMITH", CFG)) == expected_bits("SMITH")
+
+
+def test_sparse_matching_equals_dense(spark):
+    """END-TO-END representation equivalence: identical candidate pairs
+    scored through the dense zip_with/bit_count path and the sparse
+    array_intersect path produce the SAME matched pairs and
+    matched_fields — and the HLSH keys are identical under both layouts,
+    so every downstream (Dice match, bucket blocking) is wire-format
+    independent."""
+    import dataclasses
+
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        hlsh as hlshmod,
+        matching,
+    )
+
+    rows = [
+        (str(i), "A" if i % 2 == 0 else "B",
+         f"SM{chr(65 + i % 7)}TH{i % 5}", f"AN{chr(66 + i % 5)}A", f"CITY{i % 3}")
+        for i in range(40)
+    ] + [("40", "A", "", "Y", None), ("41", "B", "", "Y", None)]
+    records = spark.createDataFrame(
+        rows, "id string, party string, surname string, name string, city string"
+    )
+    pairs = (
+        records.where("party = 'A'").select(F.col("id").alias("record1"))
+        .crossJoin(records.where("party = 'B'").select(F.col("id").alias("record2")))
+    )
+    cfg_dense = dataclasses.replace(CFG, bloom_representation="dense")
+    cfg_sparse = dataclasses.replace(CFG, bloom_representation="sparse")
+    got = {}
+    for name, cfg in (("dense", cfg_dense), ("sparse", cfg_sparse)):
+        blooms = matching.encode_blooms(records, cfg)
+        scored = matching.score_joined(
+            matching._attach_blooms(pairs, blooms, cfg), cfg, unfiltered=True
+        )
+        got[name] = {
+            (r["record1"], r["record2"]): r["matched_fields"]
+            for r in scored.collect()
+        }
+        got[name + "_cards"] = {
+            (r["recordID"], i): r[f"card_{i}"]
+            for r in blooms.collect() for i in (1, 2, 3)
+        }
+        got[name + "_hlsh"] = {
+            (r["pass"], r["recordID"]): r["key"]
+            for r in hlshmod.hlsh_keys(blooms, cfg, num_passes=4).collect()
+        }
+    assert got["dense"] == got["sparse"] and len(got["dense"]) == 21 * 21
+    assert got["dense_cards"] == got["sparse_cards"]
+    assert got["dense_hlsh"] == got["sparse_hlsh"]
