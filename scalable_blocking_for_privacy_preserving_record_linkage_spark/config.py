@@ -64,10 +64,16 @@ class PPRLConfig:
     # the engine's dominant shuffle). Dice semantics are IDENTICAL:
     # |a AND b| = size(array_intersect(positions)), cardinality =
     # size(positions) — same integers, same match set (equivalence
-    # property test in tests/test_matching.py). HLSH bit-segment keys
-    # need the dense words; hlsh paths pin representation="dense".
-    # Default decided by the isolated-stage A/B in BENCH/BASELINE.md.
-    bloom_representation: str = "dense"
+    # property test in tests/test_bloom.py; HLSH keys dispatch on the
+    # column type, so both layouts work everywhere).
+    # Default = sparse per the isolated-stage A/B (scripts/dice_ab.py,
+    # BENCH/BASELINE.md round-5 section): at inflate 16 / 8.74M pairs the
+    # sparse stream carries 1.64x fewer shuffle bytes and scores
+    # 1.8-2.0x faster in BOTH the cluster shuffle-join regime and the
+    # sandbox AQE regime; SHUFFLE_HASH re-tested on the slim stream and
+    # still loses to sort-merge. Dense remains one flag away for
+    # long-attribute corpora where set bits approach m/2.
+    bloom_representation: str = "sparse"
     salt_buckets: int = 0                        # >0: salt hot groupBy keys
     # meta-blocking edge pruning (north-star; reference has none):
     # keep a candidate pair only if it co-occurs in >= min_cbs_weight blocks

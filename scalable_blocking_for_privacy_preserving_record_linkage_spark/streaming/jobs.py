@@ -93,7 +93,12 @@ def match_stream_against(
     b = incoming.where(F.col("party") == "B")
 
     classify_udf = classify.make_classify_udf(spark, samples, cfg)
-    bloom_udf = bloomfn.bloom_udf(cfg)
+    # the stream side MUST encode with the same wire format as the
+    # caller's static_blooms (cfg.bloom_representation) — score_joined
+    # dispatches on the column type and the two sides meet per pair
+    sparse = cfg.bloom_representation == "sparse"
+    bloom_udf = bloomfn.sparse_bloom_udf(cfg) if sparse else bloomfn.bloom_udf(cfg)
+    card_expr = bloomfn.sparse_card_expr if sparse else bloomfn.popcount_expr
     enriched = b.select(
         F.col(cfg.id_col).cast("string").alias("record2"),
         classify.classify_cells_expr(classify_udf, cfg).alias("arr"),
@@ -104,7 +109,7 @@ def match_stream_against(
     )
     for i in range(1, n + 1):
         enriched = enriched.withColumn(
-            f"cardB_{i}", bloomfn.popcount_expr(f"bloomB_{i}")
+            f"cardB_{i}", card_expr(f"bloomB_{i}")
         )
     stream_elements = enriched.select(
         "record2",

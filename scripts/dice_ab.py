@@ -75,6 +75,7 @@ def main() -> None:
         app_name=f"dice-ab-{args.cpus}",
         master=f"local[{args.cpus}]",
         shuffle_partitions=shuffle_parts,
+        extra_conf={"spark.ui.enabled": "true"},  # REST stage metrics
     )
     if not args.broadcast:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

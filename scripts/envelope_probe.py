@@ -95,6 +95,14 @@ def main() -> None:
         with_clusters=False, with_metrics=True,
     )
 
+    # load gate (VERDICT r4 next #6): the r4 envelope row ran at 1-min
+    # load 26-34 and was therefore labeled correctness-only; gating the
+    # start makes the wall/pairs-per-sec line quotable as throughput
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run_scaling import wait_for_quiet  # noqa: E402
+
+    load_at_start = wait_for_quiet(max_load=2.0, timeout_s=1800)
+
     t0 = time.time()
     res = run_pipeline(
         spark, records, ref, cfg, with_clusters=False, with_metrics=True
@@ -117,7 +125,8 @@ def main() -> None:
         "rs_size": cfg.rs_size_override,
         "overlap": args.overlap,
         "typo_rate": args.typo_rate,
-        "load_1min": round(os.getloadavg()[0], 2),
+        "load_1min_at_start": round(load_at_start, 2),
+        "load_1min_at_end": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
 

@@ -50,19 +50,22 @@ def test_parquet_filter_pushdown_and_pruning(spark):
 
 def test_match_path_has_no_python_eval(spark):
     records = fixtures.spark_records(spark, 50, seed=3)
-    cfg = PPRLConfig(rs_size_override=5)
-    blooms = matching.encode_blooms(records, cfg)
     pairs = spark.createDataFrame(
         [("R0000001", "R0000002")], "record1 string, record2 string"
     )
-    matched = matching.match_candidates(pairs, blooms, cfg)
-    plan = plan_of(matched)
-    # encoding is pandas-UDF (expected, one ArrowEval per bloom column);
-    # but the per-PAIR scoring after the joins must be pure codegen:
-    # the top fragment (above the joins) may not evaluate Python
-    top = plan.split("SortMergeJoin")[0].split("BroadcastHashJoin")[0]
-    assert "ArrowEvalPython" not in top and "BatchEvalPython" not in top
-    assert "bit_count" in plan
+    # BOTH wire formats: per-PAIR scoring must be JVM-side whichever
+    # representation ships (dense: zip_with+bit_count; sparse:
+    # array_intersect) — encoding is pandas-UDF (expected, one ArrowEval
+    # per bloom column), but the top fragment above the joins may not
+    # evaluate Python
+    for rep, primitive in (("dense", "bit_count"), ("sparse", "array_intersect")):
+        cfg = PPRLConfig(rs_size_override=5, bloom_representation=rep)
+        blooms = matching.encode_blooms(records, cfg)
+        matched = matching.match_candidates(pairs, blooms, cfg)
+        plan = plan_of(matched)
+        top = plan.split("SortMergeJoin")[0].split("BroadcastHashJoin")[0]
+        assert "ArrowEvalPython" not in top and "BatchEvalPython" not in top
+        assert primitive in plan
 
 
 def test_candidate_generation_is_pure_catalyst(spark):

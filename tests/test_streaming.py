@@ -420,3 +420,139 @@ def test_dedup_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
         for r in jobs.dedup_stream_against(distinct_docs, index, **args).collect()
     }
     assert {(r.doc_id, r.dup_of, r.jaccard) for r in rows} == want and len(want) > 0
+
+
+def _poison_once(flag_path: str):
+    """Fault injector: a pandas-UDF predicate that CRASHES the first task
+    that evaluates it (creating a marker file first), and passes every
+    row through once the marker exists. Injected into a stream's plan it
+    kills the query DURING a micro-batch — after the batch is committed
+    to the offsets log and tasks have started (partial sink progress),
+    but before the sink/commit log records the batch — the hard restart
+    point the between-batch kill tests don't reach."""
+    import os as _os
+
+    @F.pandas_udf("boolean")
+    def poison(ids: pd.Series) -> pd.Series:
+        if not _os.path.exists(flag_path):
+            open(flag_path, "w").close()
+            raise RuntimeError("injected mid-batch crash")
+        return pd.Series([True] * len(ids))
+
+    return poison
+
+
+def test_match_stream_midbatch_crash_restart_exactly_once(spark, tmp_path):
+    """Kill the matcher DURING a micro-batch (injected task failure after
+    partial progress), restart from the same checkpoint, and assert
+    exactly-once: the crashed batch's partial sink files are invisible
+    (file-sink manifest), the batch replays exactly once, and the final
+    output equals the batch oracle with no duplicate pairs."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    flag = str(tmp_path / "poison_done")
+
+    records = fixtures.spark_records(spark, 120, overlap=0.5, typo_rate=0.0, seed=11)
+    samples = classify.build_reference_samples(
+        fixtures.spark_reference_sets(spark), CFG, records.count()
+    )
+    static_elements = blocking.block_ids(
+        classify.classify(spark, records, samples, CFG), CFG
+    )
+    static_blooms = matching.encode_blooms(records, CFG)
+    records.where(F.col("party") == "B").write.mode("append").parquet(src)
+
+    poison = _poison_once(flag)
+
+    def matched_stream():
+        stream = jobs.stream_records(spark, src, max_files_per_trigger=1)
+        stream = stream.where(poison(F.col("id")))
+        return jobs.match_stream_against(
+            stream, static_elements, static_blooms, samples, CFG
+        )
+
+    cols = ["record1", "record2", "matched_fields"]
+    # first run: the poison kills the query mid-batch
+    with pytest.raises(Exception):
+        _run_to_files(matched_stream(), out, ckpt, cols)
+    assert __import__("os").path.exists(flag), "crash actually fired"
+
+    # restart from the SAME checkpoint: the marker exists, the batch
+    # replays cleanly to completion
+    _run_to_files(matched_stream(), out, ckpt, cols)
+
+    got = spark.read.parquet(out).select("record1", "record2").collect()
+    pairs = [(r.record1, r.record2) for r in got]
+    assert len(pairs) == len(set(pairs)), "no duplicate pairs across the crash"
+    a_side = static_elements.where("party='A'").select(
+        "blockID", F.col("recordID").alias("record1")
+    )
+    b_side = static_elements.where("party='B'").select(
+        "blockID", F.col("recordID").alias("record2")
+    )
+    cand = (
+        b_side.join(a_side, "blockID")
+        .select("record1", "record2")
+        .dropDuplicates(["record1", "record2"])
+    )
+    want = {
+        (r.record1, r.record2)
+        for r in matching.match_candidates(cand, static_blooms, CFG)
+        .select("record1", "record2")
+        .collect()
+    }
+    assert set(pairs) == want and len(want) > 0
+
+
+def test_dedup_stream_midbatch_crash_restart_exactly_once(spark, tmp_path):
+    """Same mid-batch-crash restart contract for the online dedup job:
+    the crashed batch replays exactly once (no duplicate (doc_id, dup_of)
+    emissions, no gaps vs the batch oracle)."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import dedup
+
+    base = ("boilerplate navigation header footer legal text repeated on "
+            "every page of the same host with tiny local differences")
+    corpus = spark.createDataFrame(
+        [(i, base.replace("tiny", f"corp{i}")) for i in range(8)],
+        "doc_id long, text string",
+    )
+    index = dedup.minhash_band_index(corpus, num_hashes=16, num_bands=4)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    flag = str(tmp_path / "poison_done")
+    docs = [(200, base.replace("tiny", "stream0")),
+            (201, base.replace("tiny", "stream1"))]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+
+    poison = _poison_once(flag)
+    args = dict(num_hashes=16, num_bands=4, verify_threshold=0.7)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        ).where(poison(F.col("doc_id")))
+        _run_to_files(
+            jobs.dedup_stream_against(stream, index, **args),
+            out, ckpt, ["doc_id", "dup_of", "jaccard"],
+        )
+
+    with pytest.raises(Exception):
+        run()
+    run()  # restart from the same checkpoint completes the batch
+
+    rows = spark.read.parquet(out).collect()
+    keys = [(r.doc_id, r.dup_of) for r in rows]
+    assert len(keys) == len(set(keys))
+    batch_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r.doc_id, r.dup_of, r.jaccard)
+        for r in jobs.dedup_stream_against(batch_docs, index, **args).collect()
+    }
+    assert {(r.doc_id, r.dup_of, r.jaccard) for r in rows} == want and len(want) > 0
