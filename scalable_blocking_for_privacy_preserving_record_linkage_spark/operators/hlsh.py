@@ -25,18 +25,13 @@ from pyspark.sql import functions as F
 from ..config import PPRLConfig
 
 
-def _bit_expr(cols: list[str], pos: int, m: int, sparse: bool = False):
-    """Bit ``pos`` of the virtual concatenation of per-attribute filters.
-
-    Dense layout (array<bigint> of ceil(m/64) words): word shift + mask.
-    Sparse layout (array<smallint> of sorted set-bit positions, see
-    PPRLConfig.bloom_representation): membership test — same bit, same
-    key, either wire format."""
+def _bit_expr(cols: list[str], pos: int, m: int):
+    """Bit ``pos`` of the virtual concatenation of per-attribute DENSE
+    filters (array<bigint> of ceil(m/64) words): word shift + mask.
+    The sparse layout takes the intersect-once path in ``hlsh_keys`` —
+    same bit, same key, either wire format (property test in
+    tests/test_bloom.py)."""
     seg, off = divmod(pos, m)
-    if sparse:
-        return F.array_contains(
-            F.col(cols[seg]), F.lit(off).cast("smallint")
-        ).cast("int")
     word, bit = divmod(off, 64)
     return (
         F.shiftrightunsigned(F.element_at(F.col(cols[seg]), word + 1), bit)
@@ -74,22 +69,99 @@ def hlsh_keys(
 
     sparse = isinstance(blooms.schema[cols[0]].dataType.elementType, ShortType)
     rng = np.random.default_rng(seed * 1_000 + 77)
-    passes = []
-    for p in range(num_passes):
-        positions = rng.choice(n * m, size=bits_per_key, replace=False)
-        key = F.lit(0).cast("bigint")
-        for j, pos in enumerate(sorted(int(x) for x in positions)):
-            key = key + F.shiftleft(
-                _bit_expr(cols, pos, m, sparse).cast("bigint"), j
-            )
-        passes.append(F.struct(F.lit(p).alias("pass"), key.alias("key")))
-    return blooms.select(
+    # one draw per pass, SAME rng sequence for both layouts (keys must be
+    # wire-format-independent — property test in tests/test_bloom.py)
+    draws = [
+        sorted(int(x) for x in rng.choice(n * m, size=bits_per_key, replace=False))
+        for _ in range(num_passes)
+    ]
+
+    if sparse:
+        base, key_exprs = _sparse_pass_keys(blooms, cols, m, draws)
+    else:
+        base = blooms
+        key_exprs = []
+        for positions in draws:
+            key = F.lit(0).cast("bigint")
+            for j, pos in enumerate(positions):
+                key = key + F.shiftleft(_bit_expr(cols, pos, m).cast("bigint"), j)
+            key_exprs.append(key)
+
+    passes = [
+        F.struct(F.lit(p).alias("pass"), key.alias("key"))
+        for p, key in enumerate(key_exprs)
+    ]
+    return base.select(
         "recordID",
         "party",
         F.explode(F.array(*passes)).alias("pk"),
     ).select(
         F.col("pk.pass").alias("pass"), F.col("pk.key").alias("key"), "recordID", "party"
     )
+
+
+def _sparse_pass_keys(blooms, cols, m, draws):
+    """Pass keys over the SPARSE position layout without per-bit scans.
+
+    The naive sparse formulation tests each of the num_passes *
+    bits_per_key sampled bits with its own ``array_contains`` — 128
+    linear scans of every record's position array (measured 2.3x slower
+    than dense at sf0.1). Instead: per SEGMENT, intersect the record's
+    positions ONCE with the union of all passes' sampled offsets in that
+    segment (a tiny constant-folded literal array), materialize the
+    near-empty hit arrays in one projection, then assemble every pass key
+    from the hits via a <=bits_per_key-entry literal offset->2^j weight
+    map. Expected hits per segment ~= |positions| * sampled/m << 1, so
+    the per-pass aggregates are trivial; total per-record work drops from
+    O(passes * bits * |positions|) to O(segments * |positions|).
+
+    Returns (base DataFrame carrying recordID/party/_hlsh_hits_*, one key
+    Column per pass over that base).
+    """
+    seg_offs: dict[int, set[int]] = {}
+    weights: dict[tuple[int, int], dict[int, int]] = {}
+    for p, positions in enumerate(draws):
+        for j, pos in enumerate(positions):
+            seg, off = divmod(pos, m)
+            seg_offs.setdefault(seg, set()).add(off)
+            weights.setdefault((p, seg), {})[off] = 1 << j
+
+    hit_cols = {
+        s: F.array_intersect(
+            F.col(cols[s]),
+            F.array(*[F.lit(o).cast("smallint") for o in sorted(offs)]),
+        ).alias(f"_hlsh_hits_{s}")
+        for s, offs in sorted(seg_offs.items())
+    }
+    base = blooms.select("recordID", "party", *hit_cols.values())
+
+    zero = F.lit(0).cast("bigint")
+
+    def _weight_sum(wmap):
+        # closure (not a default arg — pyspark counts lambda params)
+        return lambda acc, x: acc + F.coalesce(
+            F.element_at(wmap, x.cast("int")), zero
+        )
+
+    key_exprs = []
+    for p in range(len(draws)):
+        key = zero
+        for s in sorted(seg_offs):
+            w = weights.get((p, s))
+            if not w:
+                continue
+            wmap = F.create_map(
+                *[
+                    lit
+                    for off, wt in sorted(w.items())
+                    for lit in (F.lit(off), F.lit(wt).cast("bigint"))
+                ]
+            )
+            key = key + F.aggregate(
+                F.col(f"_hlsh_hits_{s}"), zero, _weight_sum(wmap)
+            )
+        key_exprs.append(key)
+    return base, key_exprs
 
 
 def hlsh_candidate_pairs(
