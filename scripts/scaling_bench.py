@@ -88,6 +88,14 @@ def main() -> None:
         "deployment the CLK table is maintained at ingest, not re-encoded "
         "per linkage run.",
     )
+    ap.add_argument(
+        "--representation",
+        choices=["sparse", "dense"],
+        default=None,
+        help="override PPRLConfig.bloom_representation for an A/B of the "
+        "CLK wire format at a given parallelism level (default: the "
+        "library default).",
+    )
     args = ap.parse_args()
 
     # shuffle partition count scales with DATA and is IDENTICAL at both
@@ -116,6 +124,10 @@ def main() -> None:
     )
 
     cfg = SCALING_CFG
+    if args.representation:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, bloom_representation=args.representation)
     normalized = ensure_parallelism(extract.normalize_records(records, cfg)).cache()
     party_counts = {
         r["party"]: r["count"] for r in normalized.groupBy("party").count().collect()
@@ -209,6 +221,7 @@ def main() -> None:
     print(json.dumps({
         "cpus": args.cpus,
         "inflate": args.inflate,
+        "representation": cfg.bloom_representation,
         "bucketed_blooms": bool(args.bucketed_blooms),
         "sf_dir": args.sf_dir,
         "wall_sec": round(wall, 3),
