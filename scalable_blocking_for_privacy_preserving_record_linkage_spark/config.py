@@ -66,14 +66,26 @@ class PPRLConfig:
     # size(positions) — same integers, same match set (equivalence
     # property test in tests/test_bloom.py; HLSH keys dispatch on the
     # column type, so both layouts work everywhere).
-    # Default = sparse per the isolated-stage A/B (scripts/dice_ab.py,
-    # BENCH/BASELINE.md round-5 section): at inflate 16 / 8.74M pairs the
-    # sparse stream carries 1.64x fewer shuffle bytes and scores
-    # 1.8-2.0x faster in BOTH the cluster shuffle-join regime and the
-    # sandbox AQE regime; SHUFFLE_HASH re-tested on the slim stream and
-    # still loses to sort-merge. Dense remains one flag away for
-    # long-attribute corpora where set bits approach m/2.
-    bloom_representation: str = "sparse"
+    # Default = dense, decided by FULL-PIPELINE interleaved trials at
+    # three parallelism levels (BENCH/BASELINE.md round-5 section) after
+    # the isolated-stage A/B briefly flipped this to sparse. The full
+    # evidence: sparse carries 1.64x fewer shuffle bytes (lz4 already
+    # squeezes the dense zero bytes, so the raw 3-6x shrinks to 1.64x)
+    # and won the isolated attach+score stage 1.8-2.0x at local[32] on
+    # the pre-reboot host; but end-to-end, interleaved same-session
+    # trials show dense equal at 2 cores and ahead by min-stat at 8 and
+    # 32 cores (97.5 vs 105.1 s; 47.9 vs 68.2 s at inflate 32). The
+    # structural difference: size(array_intersect(p1, p2)) allocates a
+    # hash set AND a result array per pair per attribute (~50M
+    # allocations at inflate 32) while the dense path is allocation-free
+    # zip_with/bit_count codegen over primitive longs. Sparse remains
+    # one flag away for deployments whose scoring stage is provably
+    # interconnect-bound (network-shuffle clusters — the regime the
+    # isolated A/B models); both layouts are semantically identical
+    # (equivalence property test in tests/test_bloom.py; HLSH keys and
+    # score_joined dispatch on the column type, so either works
+    # everywhere).
+    bloom_representation: str = "dense"
     salt_buckets: int = 0                        # >0: salt hot groupBy keys
     # meta-blocking edge pruning (north-star; reference has none):
     # keep a candidate pair only if it co-occurs in >= min_cbs_weight blocks
