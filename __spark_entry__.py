@@ -11,6 +11,7 @@ the unit/golden tests in tests/ instead (SURVEY.md §5.2).
 
 from __future__ import annotations
 
+import dataclasses
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -188,8 +189,6 @@ def _q_pprl_pruned_candidates(spark, sf_dir):
     pairs co-occurring in >= 2 distinct blocks. Exercises the weighted
     branch of window.candidate_pairs under the value oracle (the default
     driver pipeline takes the slim unweighted branch)."""
-    import dataclasses
-
     records = _pprl_records(spark, sf_dir)
     rs = testdata.reference_sets_from_records(records, CFG)
     db = max(
@@ -884,15 +883,25 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_pprl_hlsh_matches(spark, sf_dir):
-    """Alternative blocking path: HLSH over Bloom segments -> Dice."""
+    """Alternative blocking path: HLSH over Bloom segments -> Dice.
+
+    This query runs on the SPARSE CLK layout (sorted set-bit positions)
+    while the flagship Dice path stays dense: HLSH consumes the filters
+    ~6x and its keying is intersect-once over near-empty position arrays
+    (operators/hlsh.py), so the layout trade flips here — interleaved
+    min-of-3 A/B at sf0.1/local[32] measures sparse 6.10 s vs dense
+    9.83 s with byte-identical match sets (BENCH/BASELINE.md, round-5
+    HLSH note). Layout equivalence is property-tested in
+    tests/test_bloom.py; the oracle is representation-independent."""
     records = _pprl_records(spark, sf_dir)
+    cfg = dataclasses.replace(CFG, bloom_representation="sparse")
     # materialize the encoded filters once: the plan consumes them ~6x
     # (key passes, bucket purge, both join sides, Dice attach) and the
     # pandas-UDF encoder would otherwise re-run for each consumer — the
     # reference persists its inputs for the same reason (Simulator.java:42-46)
-    blooms = matching.encode_blooms(records, CFG).localCheckpoint()
-    pairs = hlsh.hlsh_candidate_pairs(blooms, CFG, num_passes=8, bits_per_key=16)
-    return matching.match_candidates(pairs, blooms, CFG).select(
+    blooms = matching.encode_blooms(records, cfg).localCheckpoint()
+    pairs = hlsh.hlsh_candidate_pairs(blooms, cfg, num_passes=8, bits_per_key=16)
+    return matching.match_candidates(pairs, blooms, cfg).select(
         "record1", "record2", "matched_fields"
     )
 
