@@ -749,6 +749,30 @@ def _q_docs_vocab_topk(spark, sf_dir):
     )
 
 
+def _q_docs_line_dedup(spark, sf_dir):
+    """Cross-document line-level dedup (C4/RefinedWeb-style boilerplate
+    removal) over a synthesized multi-line page (the text_repetition
+    chrome: nav line + doc text + nav line + footer that repeats the nav
+    for every third doc): a non-blank trimmed line shared by >= 3
+    distinct docs is dropped from every doc, surviving lines re-joined
+    in original order. The nav chrome is removed everywhere; the per-doc
+    footer survives; the oracle replays the rule on the line strings
+    (the engine joins on xxhash64 keys — operators/dedup.py:line_dedup
+    documents the collision argument)."""
+    d = _read(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact"),
+        F.col("text"),
+        F.lit("Home | About | Contact"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Home | About | Contact")).otherwise(
+            F.concat(F.lit("(c) example.org page "), F.col("doc_id").cast("string"))
+        ),
+    )
+    pages = d.select("doc_id", page.alias("text"))
+    return dedup.line_dedup(pages, min_docs=3)
+
+
 def _q_docs_mixture_sample(spark, sf_dir):
     """Training-mixture weighting: deterministic per-language Bernoulli
     sampling via a seeded md5 draw per doc_id (reproducible,
@@ -1090,12 +1114,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly the first 50 entries of ``queries()``). Same contract, same
     DuckDB twins in ``extra_oracle_sql()``; value-checked by
     tests/test_rel_parity.py and scripts/check_contract.py. ROUND-5
-    ROTATION: 12 of these 13 hold official green rows in CORRECTNESS_r04
+    ROTATION: 12 of these hold official green rows in CORRECTNESS_r04
     (rotated out so the round-4 sit-outs regain official rows — both
     rotation directions now proven); ``ann_ivf_recall_seeded`` is the
     round-4 graded seeded-quantizer algorithm under a new name (its
     trained-quantizer successor holds the graded ``ann_ivf_recall``
-    slot). See ``queries()`` docstring and COVERAGE.md."""
+    slot); ``docs_line_dedup`` is a round-5 addition (cross-document
+    boilerplate-line removal). See ``queries()`` docstring and
+    COVERAGE.md."""
     return {
         "rel_join_agg": _q_rel_join_agg,
         "rel_agg_pricing": _q_rel_agg_pricing,
@@ -1108,6 +1134,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_sample": _q_docs_mixture_sample,
         "docs_mixture_repeat": _q_docs_mixture_repeat,
         "docs_vocab_topk": _q_docs_vocab_topk,
+        "docs_line_dedup": _q_docs_line_dedup,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_recall_seeded": _q_ann_ivf_recall_seeded,
     }
@@ -2063,6 +2090,37 @@ def _oracle_pool_extra() -> dict[str, str]:
             )
             SELECT token, doc_freq FROM freq
             ORDER BY doc_freq DESC, token LIMIT 25
+        """,
+        "docs_line_dedup": """
+            WITH pages AS (
+              SELECT doc_id,
+                     'Home | About | Contact' || chr(10) || text || chr(10)
+                     || 'Home | About | Contact' || chr(10)
+                     || CASE WHEN doc_id % 3 = 0 THEN 'Home | About | Contact'
+                             ELSE '(c) example.org page ' || CAST(doc_id AS VARCHAR)
+                        END AS page
+              FROM documents
+            ), split AS (
+              SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages
+            ), lines AS (
+              SELECT doc_id, i AS pos, ls[i] AS line, trim(ls[i]) AS norm
+              FROM split, unnest(generate_series(1, len(ls))) AS u(i)
+            ), boiler AS (
+              SELECT norm
+              FROM (SELECT DISTINCT doc_id, norm FROM lines WHERE norm <> '')
+              GROUP BY norm HAVING count(*) >= 3
+            ), flagged AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     CASE WHEN l.norm <> '' AND b.norm IS NOT NULL
+                          THEN 1 ELSE 0 END AS removed
+              FROM lines l LEFT JOIN boiler b ON l.norm = b.norm
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(removed) AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(CASE WHEN removed = 0 THEN line END,
+                                       chr(10) ORDER BY pos), '') AS clean_text
+            FROM flagged GROUP BY doc_id
         """,
         "docs_mixture_sample": """
             WITH kept AS (

@@ -480,3 +480,90 @@ def canonical_docs(
         # component label IS the cluster min, so canonical == label match
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document LINE-level dedup (C4/RefinedWeb-style boilerplate
+    removal): a non-blank line whose trimmed form occurs in at least
+    ``min_docs`` DISTINCT documents is removed from every document.
+    Returns one row per doc: (id, n_lines, n_removed, clean_text) with
+    surviving lines re-joined in original order; blank lines are always
+    kept and never counted.
+
+    Scale shape for 10^12 docs: the frequency pass never shuffles line
+    text — each doc contributes its in-row ``array_distinct`` of trimmed
+    non-blank lines (so "distinct docs per line" is a plain count, no
+    countDistinct), hashed to 8-byte xxhash64 keys for a
+    partial-aggregate-friendly groupBy. The verdict set (lines shared by
+    >= min_docs docs) is small by construction and joins back
+    hash-to-hash under AQE (broadcast for typical boilerplate sets,
+    skew-split otherwise). Blank lines get a per-(doc, pos) join key so
+    the single blank-line hash never funnels one shuffle partition —
+    their removal verdict ignores the join anyway. Reconstruction is one
+    groupBy on the doc id with an order-fixed ``array_sort`` on the line
+    position (deterministic under any partitioning, same discipline as
+    SURVEY.md §2.8.1). Hash collisions could drop an innocent line at
+    ~1e-13 per distinct-line pair — the same xxhash64 argument as
+    ``ngram_jaccard_pairs``; the value oracle replays the rule on the
+    line STRINGS, so a collision would surface as a mismatch.
+    """
+    split_lines = F.split(F.col(text_col), "\n", -1)
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(split_lines).alias("pos", "line"),
+    ).withColumn("norm", F.trim("line"))
+    # one row per (doc, distinct trimmed non-blank line) — in-row distinct,
+    # so the global groupBy counts documents without a countDistinct
+    per_doc = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(split_lines, lambda ln: F.trim(ln)),
+                    lambda ln: ln != "",
+                )
+            )
+        ).alias("norm"),
+    )
+    boiler = (
+        per_doc.groupBy(F.xxhash64("norm").alias("h"))
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h", F.lit(1).alias("_boiler"))
+    )
+    flagged = (
+        lines.withColumn(
+            "h",
+            F.when(F.col("norm") != "", F.xxhash64("norm")).otherwise(
+                # blanks can never be removed (the flag below requires a
+                # non-blank norm); a unique key just spreads them across
+                # partitions instead of funneling xxhash64('')
+                F.xxhash64(F.col("id"), F.col("pos"), F.lit("_blank"))
+            ),
+        )
+        .join(boiler, "h", "left_outer")
+        .withColumn(
+            "removed",
+            ((F.col("norm") != "") & F.col("_boiler").isNotNull()).cast("int"),
+        )
+    )
+    return flagged.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("removed").cast("long").alias("n_removed"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("removed") == 0, F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )

@@ -198,3 +198,48 @@ def test_minhash_lsh_recall_vs_brute_force(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_line_dedup_removes_shared_lines_keeps_order_and_blanks(spark):
+    """A trimmed non-blank line in >= min_docs distinct docs is removed
+    everywhere; blanks and rare lines survive; original line order and
+    raw (untrimmed) text are preserved; an all-boilerplate doc empties."""
+    rows = [
+        (1, "NAV\nalpha content\n\nNAV\nfooter one"),
+        (2, "NAV\nbeta content\nNAV"),
+        (3, "NAV\ngamma content\n  NAV  \nfooter one"),
+        (4, "delta only\n\n"),
+        (5, "NAV"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(df, min_docs=3).collect()
+    }
+    # NAV appears (trimmed) in docs 1,2,3,5 -> removed; "footer one" in
+    # only 2 docs -> kept; doc-internal duplicates count once per doc
+    assert out[1]["clean_text"] == "alpha content\n\nfooter one"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (5, 2)
+    assert out[2]["clean_text"] == "beta content"
+    assert out[3]["clean_text"] == "gamma content\nfooter one"
+    # trailing blank lines are kept verbatim (never counted as shared)
+    assert out[4]["clean_text"] == "delta only\n\n"
+    assert out[4]["n_removed"] == 0
+    # all-boilerplate doc -> empty text, full removal accounted
+    assert out[5]["clean_text"] == ""
+    assert (out[5]["n_lines"], out[5]["n_removed"]) == (1, 1)
+
+
+def test_line_dedup_min_docs_boundary_and_partition_invariance(spark):
+    """min_docs is a >= threshold on DISTINCT docs; results are identical
+    under different input partitionings (order-fixed reconstruction)."""
+    rows = [(i, f"shared two\nunique {i}") for i in range(2)] + [
+        (10 + i, f"shared three\nunique {10 + i}") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df, min_docs=3).collect()}
+    assert out[0]["clean_text"] == "shared two\nunique 0"  # 2 docs < 3 -> kept
+    assert out[10]["clean_text"] == "unique 10"  # 3 docs -> removed
+    a = sorted(map(tuple, dedup.line_dedup(df.repartition(1), min_docs=3).collect()))
+    b = sorted(map(tuple, dedup.line_dedup(df.repartition(7), min_docs=3).collect()))
+    assert a == b

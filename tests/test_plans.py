@@ -176,3 +176,17 @@ def test_asof_auto_prepass_not_in_returned_plan(spark):
     assert "Join" not in plan
     assert "HashAggregate" not in plan  # the pre-pass agg is not part of the result
     assert plan.count("Exchange") <= 2
+
+
+def test_line_dedup_plan_broadcasts_boiler_set_no_python(spark):
+    """line_dedup's verdict join must broadcast the (small) boilerplate
+    set and the whole plan stays JVM-side: no Python evaluation, no
+    cartesian product, and the parquet scan is pruned to (doc_id, text)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod._q_docs_line_dedup(spark, SF)
+    f = formatted(df)
+    assert "Python" not in f
+    assert "Cartesian" not in f
+    assert "BroadcastHashJoin" in f
+    assert "struct<doc_id:bigint,text:string>" in f
