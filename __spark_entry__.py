@@ -667,6 +667,34 @@ def _q_text_pii(spark, sf_dir):
     )
 
 
+def _q_text_nfc_normalize(spark, sf_dir):
+    """Unicode hygiene pass: control-char scrub (pure Catalyst regexp)
+    then NFC canonical composition (Arrow-batched pandas UDF — Catalyst
+    has no ICU normalizer; see functions/text.py:nfc_normalize_udf).
+    The ASCII fixture gets a deterministic decomposed-accent + BEL
+    injection for every fifth doc so the check discriminates; the
+    oracle replays with DuckDB's utf8proc nfc_normalize — two
+    independent Unicode implementations must agree byte-for-byte on
+    the full normalized text."""
+    d = _read(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            # decomposed on purpose: 'e' + U+0301 combining acute
+            F.col("doc_id") % 5 == 0,
+            F.lit(" cafe\u0301 menu\x07"),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = tx.scrub_control_chars_expr(raw)
+    norm = tx.nfc_normalize_udf()(scrubbed)
+    return d.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (F.length(raw) - F.length(scrubbed)).cast("long").alias("n_controls_removed"),
+        (norm != raw).cast("int").alias("changed"),
+    )
+
+
 def _q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 97 == 0 play the
     eval set (with a canary suffix); corpus docs with doc_id % 10 == 3
@@ -1135,6 +1163,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_repeat": _q_docs_mixture_repeat,
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_line_dedup": _q_docs_line_dedup,
+        "text_nfc_normalize": _q_text_nfc_normalize,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_recall_seeded": _q_ann_ivf_recall_seeded,
     }
@@ -2090,6 +2119,26 @@ def _oracle_pool_extra() -> dict[str, str]:
             )
             SELECT token, doc_freq FROM freq
             ORDER BY doc_freq DESC, token LIMIT 25
+        """,
+        "text_nfc_normalize": """
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' cafe' || chr(769) || ' menu' || chr(7)
+                          ELSE text END AS raw
+              FROM documents
+            ), scrubbed AS (
+              SELECT doc_id, raw,
+                     regexp_replace(raw, '[\\x00-\\x08\\x0E-\\x1F\\x7F]',
+                                    '', 'g') AS s
+              FROM injected
+            )
+            SELECT doc_id,
+                   nfc_normalize(s) AS text_norm,
+                   CAST(length(raw) - length(s) AS BIGINT) AS n_controls_removed,
+                   CAST(CASE WHEN nfc_normalize(s) <> raw THEN 1 ELSE 0 END
+                        AS INTEGER) AS changed
+            FROM scrubbed
         """,
         "docs_line_dedup": """
             WITH pages AS (

@@ -187,3 +187,40 @@ def scrub_pii_expr(text: Column) -> Column:
     out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
     return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+# Unicode hygiene — web crawls mix composed and decomposed forms of the
+# same glyph ("é" vs "e"+U+0301), which silently breaks exact dedup,
+# q-gram hashing, and the byte-identical-extract invariant. Standard
+# fix: NFC-normalize before any hashing, and scrub the C0/C1 control
+# bytes that survive HTML extraction (keep \t \n \x0B \f \r — the
+# tokenizer's whitespace class).
+CONTROL_CHARS_RE = r"[\x00-\x08\x0E-\x1F\x7F]"
+
+
+def scrub_control_chars_expr(text: Column) -> Column:
+    """Drop non-whitespace C0 controls + DEL (pure Catalyst; DuckDB twin
+    is the identical class with regexp_replace(..., 'g'))."""
+    return F.regexp_replace(text, CONTROL_CHARS_RE, "")
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalization (canonical composition).
+
+    Catalyst has no ICU normalizer, so this is one of the engine's few
+    deliberate Python paths — a scalar pandas UDF over Arrow batches
+    (pandas ``Series.str.normalize``), never row-at-a-time Python. NFC
+    is idempotent and byte-shrinking-or-equal on web text, so running
+    it early keeps every downstream hash (CLK q-grams, MinHash
+    shingles, line/gram dedup) form-insensitive. DuckDB's
+    ``nfc_normalize`` (utf8proc) is the independent value oracle; both
+    implement Unicode canonical composition, and the parity is
+    value-checked end-to-end by the ``text_nfc_normalize`` query.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return _nfc

@@ -136,3 +136,29 @@ def test_bpe_token_count(spark):
         ).collect()
     }
     assert got == {k: v for k, (_, v) in cases.items()}
+
+
+def test_nfc_normalize_and_control_scrub(spark):
+    """NFC composes decomposed sequences (e + U+0301 -> é), is identity
+    on ASCII and on already-composed text, and the control scrub drops
+    C0/DEL but keeps the tokenizer's whitespace (\\t \\n \\x0B \\f \\r)."""
+    rows = [
+        (0, "cafe\u0301"),     # decomposed -> composed (explicit escape)
+        (1, "caf\u00e9"),      # already composed -> unchanged
+        (2, "plain ascii"),
+        (3, "a\x00b\x07c\x7fd"),    # controls scrubbed
+        (4, "tab\there\nline\x0b\f\r end"),  # whitespace kept
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r.i: r.n
+        for r in df.select(
+            "i",
+            tx.nfc_normalize_udf()(tx.scrub_control_chars_expr(F.col("t"))).alias("n"),
+        ).collect()
+    }
+    assert out[0] == "caf\u00e9" and len(out[0]) == 4
+    assert out[1] == "caf\u00e9"
+    assert out[2] == "plain ascii"
+    assert out[3] == "abcd"
+    assert out[4] == "tab\there\nline\x0b\f\r end"
