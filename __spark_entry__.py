@@ -801,6 +801,62 @@ def _q_docs_line_dedup(spark, sf_dir):
     return dedup.line_dedup(pages, min_docs=3)
 
 
+def _q_pages_clean_pipeline(spark, sf_dir):
+    """END-TO-END web-corpus hygiene chain — the composition a 100-TB
+    pre-training pipeline actually runs, value-checked as ONE artifact:
+    unicode scrub+NFC -> boilerplate line-dedup -> token-count quality
+    gate -> exact-dedup canonicalization. Each stage gets a
+    deterministic discriminator so the final hash fails if ANY stage
+    breaks: every 11th doc's text is replaced by a 12-word page shared
+    with exactly one twin (exact-dedup must collapse each pair to its
+    min id without line-dedup eating the pair first), every 5th gets a
+    decomposed-accent suffix (NFC must compose it), and the chrome nav
+    line wraps every page (line-dedup must strip it). Output: one row
+    per surviving canonical doc with its group size and content md5."""
+    d = _read(spark, sf_dir, "documents")
+    # every 11th doc becomes one of a PAIR sharing the same 12-word page
+    # (pair key doc_id // 22): exactly 2 copies, so the shared lines stay
+    # BELOW line-dedup's min_docs=3 and reach the exact-dedup stage,
+    # which must collapse each pair to its min id
+    raw = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit("shared page variant "),
+                (F.col("doc_id") / 22).cast("long").cast("string"),
+                F.lit(" about terms of service and cookie policy text"),
+            ),
+        )
+        .when(
+            # decomposed on purpose: 'e' + U+0301 combining acute
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" café menu\x07")),
+        )
+        .otherwise(F.col("text"))
+    )
+    norm = tx.nfc_normalize_udf()(tx.scrub_control_chars_expr(raw))
+    page = F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact"),
+        norm,
+        F.lit("Home | About | Contact"),
+    )
+    pages = d.select("doc_id", page.alias("text"))
+    deduped = dedup.line_dedup(pages, min_docs=3)
+    gated = deduped.withColumn(
+        "n_tokens", tx.token_count_expr(F.col("clean_text")).cast("long")
+    ).where(F.col("n_tokens") >= 10)
+    groups = gated.groupBy(F.md5("clean_text").alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        # identical clean_text within a group => identical counts; min is
+        # the order-insensitive way to say so
+        F.min("n_removed").alias("n_removed"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return groups.select("doc_id", "n_copies", "n_removed", "n_tokens", "text_md5")
+
+
 def _q_docs_mixture_sample(spark, sf_dir):
     """Training-mixture weighting: deterministic per-language Bernoulli
     sampling via a seeded md5 draw per doc_id (reproducible,
@@ -1164,6 +1220,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_line_dedup": _q_docs_line_dedup,
         "text_nfc_normalize": _q_text_nfc_normalize,
+        "pages_clean_pipeline": _q_pages_clean_pipeline,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_recall_seeded": _q_ann_ivf_recall_seeded,
     }
@@ -2119,6 +2176,63 @@ def _oracle_pool_extra() -> dict[str, str]:
             )
             SELECT token, doc_freq FROM freq
             ORDER BY doc_freq DESC, token LIMIT 25
+        """,
+        "pages_clean_pipeline": """
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN 'shared page variant '
+                               || CAST(doc_id // 22 AS VARCHAR)
+                               || ' about terms of service and cookie policy text'
+                          WHEN doc_id % 5 = 0
+                          THEN text || ' cafe' || chr(769) || ' menu' || chr(7)
+                          ELSE text END AS raw
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                     nfc_normalize(regexp_replace(raw,
+                         '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g')) AS t
+              FROM injected
+            ), pages AS (
+              SELECT doc_id,
+                     'Home | About | Contact' || chr(10) || t || chr(10)
+                     || 'Home | About | Contact' AS page
+              FROM norm
+            ), split AS (
+              SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages
+            ), lines AS (
+              SELECT doc_id, i AS pos, ls[i] AS line, trim(ls[i]) AS nrm
+              FROM split, unnest(generate_series(1, len(ls))) AS u(i)
+            ), boiler AS (
+              SELECT nrm
+              FROM (SELECT DISTINCT doc_id, nrm FROM lines WHERE nrm <> '')
+              GROUP BY nrm HAVING count(*) >= 3
+            ), flagged AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     CASE WHEN l.nrm <> '' AND b.nrm IS NOT NULL
+                          THEN 1 ELSE 0 END AS removed
+              FROM lines l LEFT JOIN boiler b ON l.nrm = b.nrm
+            ), cleaned AS (
+              SELECT doc_id,
+                     CAST(sum(removed) AS BIGINT) AS n_removed,
+                     COALESCE(string_agg(CASE WHEN removed = 0 THEN line END,
+                                         chr(10) ORDER BY pos), '') AS clean_text
+              FROM flagged GROUP BY doc_id
+            ), gated AS (
+              SELECT doc_id, n_removed, clean_text,
+                     CAST(CASE WHEN len(trim(clean_text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(clean_text),
+                                   '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)
+                       AS n_tokens
+              FROM cleaned
+            )
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   min(n_removed) AS n_removed,
+                   min(n_tokens) AS n_tokens,
+                   md5(clean_text) AS text_md5
+            FROM gated WHERE n_tokens >= 10
+            GROUP BY md5(clean_text)
         """,
         "text_nfc_normalize": """
             WITH injected AS (
