@@ -243,3 +243,31 @@ def test_line_dedup_min_docs_boundary_and_partition_invariance(spark):
     a = sorted(map(tuple, dedup.line_dedup(df.repartition(1), min_docs=3).collect()))
     b = sorted(map(tuple, dedup.line_dedup(df.repartition(7), min_docs=3).collect()))
     assert a == b
+
+
+def test_line_dedup_identity_when_nothing_shared(spark):
+    """With no cross-document line sharing the pass is a byte-identical
+    identity (clean_text == text, n_removed == 0) — reconstruction must
+    preserve every line, blank or not, in order."""
+    texts = [
+        "one alpha\n\n  indented beta  \ngamma one",
+        "two delta\nepsilon two",
+        "\n\nthree zeta\n",
+        "four eta",
+    ]
+    df = _docs(spark, texts)
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df, min_docs=2).collect()}
+    for i, t in enumerate(texts):
+        assert out[i]["clean_text"] == t
+        assert out[i]["n_removed"] == 0
+        assert out[i]["n_lines"] == len(t.split("\n"))
+
+
+def test_line_dedup_min_docs_one_removes_every_nonblank_line(spark):
+    """min_docs=1 is the degenerate bound: every non-blank line is its
+    own boilerplate, so only blanks survive."""
+    df = _docs(spark, ["a\n\nb", "c"])
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df, min_docs=1).collect()}
+    assert out[0]["clean_text"] == ""  # 'a', 'b' removed; blank kept
+    assert out[0]["n_removed"] == 2 and out[0]["n_lines"] == 3
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
