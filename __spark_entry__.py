@@ -695,6 +695,38 @@ def _q_text_nfc_normalize(spark, sf_dir):
     )
 
 
+def _q_text_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter signals (mean word length, alpha-word
+    fraction, symbol-to-word ratio, bullet/ellipsis line fractions —
+    Rae et al. 2021 App. A1.1) over a synthesized page: chrome plus,
+    for every 7th doc, a bullet line and an ellipsis line, and for
+    every 13th doc a '###'-marked header and a numeric token — so each
+    signal discriminates on this ASCII fixture. Pure Catalyst
+    (functions/text.py:gopher_signals_expr); the oracle replays every
+    counter with DuckDB list lambdas."""
+    d = _read(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("- item one\nread more...")).otherwise(
+            F.lit("plain footer")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("### header 12345")).otherwise(
+            F.lit("end")
+        ),
+    )
+    g = tx.gopher_signals_expr(page)
+    return d.select(
+        "doc_id",
+        g["mean_word_len"].alias("mean_word_len"),
+        g["frac_alpha_words"].alias("frac_alpha_words"),
+        g["sym_ratio"].alias("sym_ratio"),
+        g["frac_bullet_lines"].alias("frac_bullet_lines"),
+        g["frac_ellipsis_lines"].alias("frac_ellipsis_lines"),
+    )
+
+
 def _q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 97 == 0 play the
     eval set (with a canary suffix); corpus docs with doc_id % 10 == 3
@@ -1221,6 +1253,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup": _q_docs_line_dedup,
         "text_nfc_normalize": _q_text_nfc_normalize,
         "pages_clean_pipeline": _q_pages_clean_pipeline,
+        "text_gopher_rules": _q_text_gopher_rules,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_recall_seeded": _q_ann_ivf_recall_seeded,
     }
@@ -2176,6 +2209,38 @@ def _oracle_pool_extra() -> dict[str, str]:
             )
             SELECT token, doc_freq FROM freq
             ORDER BY doc_freq DESC, token LIMIT 25
+        """,
+        "text_gopher_rules": """
+            WITH pages AS (
+              SELECT doc_id,
+                     'Home | About | Contact' || chr(10) || text || chr(10)
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN '- item one' || chr(10) || 'read more...'
+                             ELSE 'plain footer' END || chr(10)
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN '### header 12345' ELSE 'end' END AS page
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, page,
+                     string_split_regex(trim(page), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
+                     string_split(page, chr(10)) AS ls
+              FROM pages
+            )
+            SELECT doc_id,
+                   round(list_sum(list_transform(toks, w -> len(w)))
+                         / len(toks), 4) AS mean_word_len,
+                   round(len(list_filter(toks,
+                             w -> regexp_matches(w, '[A-Za-z]')))
+                         / CAST(len(toks) AS DOUBLE), 4) AS frac_alpha_words,
+                   round(len(regexp_extract_all(page, '[#…]|\\.\\.\\.'))
+                         / CAST(len(toks) AS DOUBLE), 4) AS sym_ratio,
+                   round(len(list_filter(ls,
+                             l -> regexp_matches(ltrim(l), '^[-*•]')))
+                         / CAST(len(ls) AS DOUBLE), 4) AS frac_bullet_lines,
+                   round(len(list_filter(ls,
+                             l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                         / CAST(len(ls) AS DOUBLE), 4) AS frac_ellipsis_lines
+            FROM parts
         """,
         "pages_clean_pipeline": """
             WITH injected AS (

@@ -224,3 +224,56 @@ def nfc_normalize_udf():
         return s.str.normalize("NFC")
 
     return _nfc
+
+
+def gopher_signals_expr(page: Column) -> Column:
+    """The Gopher quality-filter ruleset's document signals (Rae et al.
+    2021, "Scaling Language Models", App. A1.1) as one pure-Catalyst
+    struct — the published heuristics a pre-training corpus filters on,
+    complementing the length/stopword stats in ``quality`` and the
+    repetition fractions above:
+
+    * ``mean_word_len``    — mean word length (rule: keep 3..10)
+    * ``frac_alpha_words`` — words containing an alphabetic char
+      (rule: >= 0.8)
+    * ``sym_ratio``        — '#' or ellipsis symbols per word
+      (rule: <= 0.1)
+    * ``frac_bullet_lines``   — lines starting with a bullet
+      (rule: <= 0.9)
+    * ``frac_ellipsis_lines`` — lines ending with an ellipsis
+      (rule: <= 0.3)
+
+    All ratios are 0.0 on empty input; rounded to 4 places so the
+    DuckDB twin compares exactly. Zero UDFs — every signal is split /
+    filter / aggregate over the page string, so the pass stays inside
+    whole-stage codegen at corpus scale.
+    """
+    words = tokens_expr(page)
+    nw = F.size(words)
+    lines = F.split(page, "\n", -1)
+    nl = F.size(lines)
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_sym = F.regexp_count(page, F.lit(r"[#…]|\.\.\.")).cast("long")
+    n_bullet = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]")))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    zero = F.lit(0.0)
+    return F.struct(
+        F.round(F.when(nw > 0, total_chars / nw).otherwise(zero), 4).alias(
+            "mean_word_len"
+        ),
+        F.round(F.when(nw > 0, n_alpha / nw).otherwise(zero), 4).alias(
+            "frac_alpha_words"
+        ),
+        F.round(F.when(nw > 0, n_sym / nw).otherwise(zero), 4).alias("sym_ratio"),
+        F.round(F.when(nl > 0, n_bullet / nl).otherwise(zero), 4).alias(
+            "frac_bullet_lines"
+        ),
+        F.round(F.when(nl > 0, n_ellipsis / nl).otherwise(zero), 4).alias(
+            "frac_ellipsis_lines"
+        ),
+    )

@@ -162,3 +162,27 @@ def test_nfc_normalize_and_control_scrub(spark):
     assert out[2] == "plain ascii"
     assert out[3] == "abcd"
     assert out[4] == "tab\there\nline\x0b\f\r end"
+
+
+def test_gopher_signals_edges(spark):
+    """Gopher signals: exact fractions on a constructed page, zeros on
+    empty input, ellipsis/bullet detection tolerant of edge whitespace."""
+    page = "- bullet\nplain words here\nmore...\n…\n12345 end"
+    rows = [(0, page), (1, ""), (2, "   ")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r.i: r.g.asDict()
+        for r in df.select("i", tx.gopher_signals_expr(F.col("t")).alias("g")).collect()
+    }
+    g = out[0]
+    # 9 words: - bullet plain words here more... … 12345 end
+    assert g["frac_alpha_words"] == round(6 / 9, 4)
+    assert g["sym_ratio"] == round(2 / 9, 4)  # one '...' + one '…'
+    # 5 lines: bullet line 1; ellipsis lines 'more...' and '…'
+    assert g["frac_bullet_lines"] == round(1 / 5, 4)
+    assert g["frac_ellipsis_lines"] == round(2 / 5, 4)
+    for k, v in out[1].items():
+        assert v == 0.0, (k, v)
+    for k, v in out[2].items():
+        # whitespace-only: zero words; the single line is no bullet/ellipsis
+        assert v == 0.0, (k, v)
