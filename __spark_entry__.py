@@ -889,6 +889,26 @@ def _q_pages_clean_pipeline(spark, sf_dir):
     return groups.select("doc_id", "n_copies", "n_removed", "n_tokens", "text_md5")
 
 
+def _q_docs_pack_blocks(spark, sf_dir):
+    """Sequence packing layout: documents salted into 8 independent
+    shard streams by seeded md5, ordered by (md5-hex, id), concatenated
+    and cut into 256-token blocks (GPT-style — docs may straddle a
+    boundary). One row per doc with its shard, stream start offset,
+    first block and span; the oracle replays the identical hash order
+    and running sum with a window over each shard."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        sampling,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    with_counts = d.select(
+        "doc_id", tx.token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    return sampling.pack_into_blocks(
+        with_counts, block_tokens=256, num_shards=8, seed=7
+    )
+
+
 def _q_docs_mixture_sample(spark, sf_dir):
     """Training-mixture weighting: deterministic per-language Bernoulli
     sampling via a seeded md5 draw per doc_id (reproducible,
@@ -1254,6 +1274,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nfc_normalize": _q_text_nfc_normalize,
         "pages_clean_pipeline": _q_pages_clean_pipeline,
         "text_gopher_rules": _q_text_gopher_rules,
+        "docs_pack_blocks": _q_docs_pack_blocks,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_recall_seeded": _q_ann_ivf_recall_seeded,
     }
@@ -2349,6 +2370,30 @@ def _oracle_pool_extra() -> dict[str, str]:
                    COALESCE(string_agg(CASE WHEN removed = 0 THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM flagged GROUP BY doc_id
+        """,
+        "docs_pack_blocks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                   '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)
+                       AS nt,
+                     md5('7|' || CAST(doc_id AS VARCHAR)) AS okey,
+                     CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)),
+                                          1, 8))::BIGINT % 8 AS INTEGER) AS shard
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, shard, nt,
+                     sum(nt) OVER (PARTITION BY shard ORDER BY okey, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS c
+              FROM toks
+            )
+            SELECT doc_id, shard,
+                   CAST(c - nt AS BIGINT) AS start_offset,
+                   CAST((c - nt) // 256 AS BIGINT) AS first_block,
+                   CAST(greatest(c - 1, c - nt) // 256
+                        - (c - nt) // 256 + 1 AS BIGINT) AS blocks_spanned
+            FROM cum
         """,
         "docs_mixture_sample": """
             WITH kept AS (

@@ -16,7 +16,7 @@ value-checked or replayed per row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int_expr
@@ -94,4 +94,60 @@ def weighted_repeat(
         .where(F.col("_n_copies") > 0)
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n_copies"))))
         .drop("_n_copies")
+    )
+
+
+def pack_into_blocks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    block_tokens: int = 2048,
+    num_shards: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic distributed SEQUENCE PACKING — the layout step a
+    pre-training build runs after cleaning: documents are concatenated
+    into one token stream per shard and cut into fixed ``block_tokens``
+    windows (GPT-style packing, where a document may straddle a block
+    boundary). Returns one row per doc: (id, shard, start_offset,
+    first_block, blocks_spanned).
+
+    Scale shape for 10^12 docs: a single global running sum would funnel
+    one window task, so docs are salted into ``num_shards`` INDEPENDENT
+    streams by the seeded md5 of the id (same reproducible-hash
+    convention as ``weighted_sample``: partition-invariant, rerun-
+    stable, SQL-twinnable), ordered within a shard by (md5-hex, id) —
+    a total order — and the running token sum is a window partitioned
+    by shard: num_shards parallel cumsums, each a single sort-free pass
+    after the shuffle. On a cluster, set num_shards ~ total cores so
+    every executor packs its own stream, exactly how multi-worker data
+    loaders shard packing in practice.
+    """
+    okey = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    shard = (md5_int_expr(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+             % num_shards).cast("int")
+    staged = docs.select(
+        F.col(id_col),
+        F.col(token_count_col).cast("long").alias("_nt"),
+        okey.alias("_okey"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("_nt").over(w)
+    start = (cum - F.col("_nt")).alias("start_offset")
+    first_block = F.floor((cum - F.col("_nt")) / block_tokens).cast("long")
+    # last token of the doc sits at cum-1; empty docs span their start block
+    last_block = F.floor(
+        F.greatest(cum - 1, cum - F.col("_nt")) / block_tokens
+    ).cast("long")
+    return staged.select(
+        F.col(id_col),
+        "shard",
+        start,
+        first_block.alias("first_block"),
+        (last_block - first_block + 1).alias("blocks_spanned"),
     )

@@ -103,3 +103,37 @@ def test_weighted_repeat_deterministic_and_partition_invariant(spark):
     a = sampling.weighted_repeat(d, rates, seed=8)
     b = sampling.weighted_repeat(d.repartition(13), rates, seed=8)
     assert rows(a) == rows(b)
+
+
+def test_pack_into_blocks_stream_invariants(spark):
+    """Within every shard the packed stream is gapless (offsets are the
+    running sum in hash order), blocks_spanned matches the doc's token
+    footprint, and the layout is identical under different input
+    partitionings (seeded-hash order, not execution order)."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators.sampling import (
+        pack_into_blocks,
+    )
+
+    rows = [(i, (i * 37) % 113 + 1) for i in range(200)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_into_blocks(df, block_tokens=64, num_shards=4, seed=7)
+    got = out.collect()
+    nt = dict(rows)
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+        end = r["start_offset"] + max(nt[r["doc_id"]], 1)
+        assert r["first_block"] == r["start_offset"] // 64
+        last = max(r["start_offset"], r["start_offset"] + nt[r["doc_id"]] - 1)
+        assert r["blocks_spanned"] == last // 64 - r["first_block"] + 1
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r["start_offset"])
+        offset = 0
+        for r in rs:
+            assert r["start_offset"] == offset, (shard, r)
+            offset += nt[r["doc_id"]]
+    a = sorted(map(tuple, pack_into_blocks(df.repartition(1), 
+               block_tokens=64, num_shards=4, seed=7).collect()))
+    b = sorted(map(tuple, pack_into_blocks(df.repartition(13),
+               block_tokens=64, num_shards=4, seed=7).collect()))
+    assert a == b
