@@ -889,6 +889,21 @@ def _q_pages_clean_pipeline(spark, sf_dir):
     return groups.select("doc_id", "n_copies", "n_removed", "n_tokens", "text_md5")
 
 
+def _q_docs_tfidf_topk(spark, sf_dir):
+    """Per-document keyword extraction: top-3 tokens by smoothed tf-idf
+    (tf * (ln((N+1)/(df+1)) + 1)) with a (score desc, token asc) total
+    order. The ranking window partitions by the DOC id — millions of
+    independent tiny windows at corpus scale, never a global sort; N is
+    a lazy broadcast 1-row aggregate (operators/ranking.py:tfidf_topk)."""
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators import (
+        ranking,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tx.tokens_expr(F.col("text")).alias("tokens"))
+    return ranking.tfidf_topk(toks, k=3)
+
+
 def _q_docs_pack_blocks(spark, sf_dir):
     """Sequence packing layout: documents salted into 8 independent
     shard streams by seeded md5, ordered by (md5-hex, id), concatenated
@@ -1275,6 +1290,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_clean_pipeline": _q_pages_clean_pipeline,
         "text_gopher_rules": _q_text_gopher_rules,
         "docs_pack_blocks": _q_docs_pack_blocks,
+        "docs_tfidf_topk": _q_docs_tfidf_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_recall_seeded": _q_ann_ivf_recall_seeded,
     }
@@ -2370,6 +2386,33 @@ def _oracle_pool_extra() -> dict[str, str]:
                    COALESCE(string_agg(CASE WHEN removed = 0 THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM flagged GROUP BY doc_id
+        """,
+        "docs_tfidf_topk": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text),
+                            '[ \\t\\n\\x0B\\f\\r]+')) AS token
+              FROM documents WHERE len(trim(text)) > 0
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM terms GROUP BY doc_id, token
+            ), dft AS (
+              SELECT token, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, token FROM terms) GROUP BY token
+            ), n AS (SELECT count(*) AS nd FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.token,
+                     round(tf.tf * (ln((n.nd + 1) / (dft.df + 1.0)) + 1.0), 6)
+                       AS tfidf
+              FROM tf JOIN dft USING (token), n
+            ), ranked AS (
+              SELECT doc_id, token, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, token ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tfidf
+            FROM ranked WHERE rank <= 3
         """,
         "docs_pack_blocks": """
             WITH toks AS (

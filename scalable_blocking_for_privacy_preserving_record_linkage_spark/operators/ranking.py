@@ -97,3 +97,53 @@ def cap_per_key(
         .drop("_rn")
     )
     return passed.unionByName(ranked).drop("_cnt", "_h")
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by smoothed tf-idf
+    (``tf * (ln((N+1)/(df+1)) + 1)``), total-ordered by
+    (score desc, token asc) so the selection is deterministic.
+
+    Scale shape for 10^12 docs: term frequencies are an in-row
+    aggregation (explode -> groupBy(doc, token) with map-side partial
+    agg), document frequencies a second partial-agg groupBy on the
+    token alone; the df table joins back token-to-token under AQE
+    (typical vocabularies broadcast). The top-k window partitions by
+    the DOC id — millions of tiny independent windows, never a global
+    sort. Scores round to 6 places for a stable SQL twin.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col).alias("token")
+    )
+    tf = terms.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = (
+        terms.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    # N as a broadcast 1-row aggregate keeps the plan fully lazy (no
+    # count() at DataFrame-construction time — the as-of guard lesson)
+    n_row = F.broadcast(docs.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    scored = tf.join(df_tbl, "token").crossJoin(n_row).select(
+        "id",
+        "token",
+        F.round(
+            F.col("tf")
+            * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rn").cast("int").alias("rank"),
+            "token",
+            "tfidf",
+        )
+    )

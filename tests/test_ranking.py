@@ -51,3 +51,37 @@ def test_cap_per_key_passthrough_and_cap(spark):
         for r in cap_per_key(df.repartition(7), ("host",), 5, "doc_id").collect()
     )
     assert a == b
+
+
+def test_tfidf_topk_scores_and_total_order(spark):
+    """tf-idf math against a hand-computed corpus, deterministic
+    tiebreak (score desc, token asc), and partition invariance."""
+    import math
+
+    from scalable_blocking_for_privacy_preserving_record_linkage_spark.operators.ranking import (
+        tfidf_topk,
+    )
+
+    rows = [
+        (1, ["apple", "apple", "banana"]),
+        (2, ["banana", "cherry"]),
+        (3, ["cherry", "cherry", "cherry", "durian"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = {(r["doc_id"], r["rank"]): r for r in tfidf_topk(df, k=2).collect()}
+
+    def s(tf, dfreq, n=3):
+        return round(tf * (math.log((n + 1) / (dfreq + 1)) + 1.0), 6)
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert out[(1, 1)]["token"] == "apple" and out[(1, 1)]["tfidf"] == s(2, 1)
+    assert out[(1, 2)]["token"] == "banana" and out[(1, 2)]["tfidf"] == s(1, 2)
+    # doc 2: banana and cherry tie at tf=1 df=2 -> token asc breaks it
+    assert out[(2, 1)]["token"] == "banana"
+    assert out[(2, 2)]["token"] == "cherry"
+    # doc 3: cherry tf=3 beats durian's rarer-but-single hit at this N
+    assert out[(3, 1)]["token"] == "cherry" and out[(3, 1)]["tfidf"] == s(3, 2)
+    assert out[(3, 2)]["token"] == "durian" and out[(3, 2)]["tfidf"] == s(1, 1)
+    a = sorted(map(tuple, tfidf_topk(df.repartition(1), k=2).collect()))
+    b = sorted(map(tuple, tfidf_topk(df.repartition(5), k=2).collect()))
+    assert a == b
