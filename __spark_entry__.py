@@ -889,6 +889,53 @@ def _q_pages_clean_pipeline(spark, sf_dir):
     return groups.select("doc_id", "n_copies", "n_removed", "n_tokens", "text_md5")
 
 
+def _q_docs_pmi_bigrams(spark, sf_dir):
+    """Corpus collocations: top-25 token bigrams by pointwise mutual
+    information, ln((c_xy/B) / ((c_x/T)*(c_y/T))), restricted to bigrams
+    seen >= 5 times (the standard PMI low-count guard). Scale shape:
+    bigram and unigram counts are partial-agg groupBys; the two unigram
+    attaches join on the token under AQE; totals are lazy broadcast
+    1-row aggregates; top-25 by (pmi desc, bigram asc) total order is a
+    TakeOrderedAndProject, never a global sort."""
+    d = _read(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(tx.tokens_expr(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        d.select(F.explode(tx.bigrams_expr(F.col("text"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+        .withColumn("w1", F.split("bigram", " ", -1)[0])
+        .withColumn("w2", F.split("bigram", " ", -1)[1])
+    )
+    tot_t = F.broadcast(uni.agg(F.sum("c").cast("double").alias("_t")))
+    tot_b = F.broadcast(
+        d.select(F.explode(tx.bigrams_expr(F.col("text"))).alias("b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_b"))
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(tot_t)
+        .crossJoin(tot_b)
+        .select(
+            "bigram",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("_b"))
+                    / ((F.col("c_x") / F.col("_t")) * (F.col("c_y") / F.col("_t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(25)
+
+
 def _q_docs_tfidf_topk(spark, sf_dir):
     """Per-document keyword extraction: top-3 tokens by smoothed tf-idf
     (tf * (ln((N+1)/(df+1)) + 1)) with a (score desc, token asc) total
@@ -1291,6 +1338,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": _q_text_gopher_rules,
         "docs_pack_blocks": _q_docs_pack_blocks,
         "docs_tfidf_topk": _q_docs_tfidf_topk,
+        "docs_pmi_bigrams": _q_docs_pmi_bigrams,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_recall_seeded": _q_ann_ivf_recall_seeded,
     }
@@ -2386,6 +2434,33 @@ def _oracle_pool_extra() -> dict[str, str]:
                    COALESCE(string_agg(CASE WHEN removed = 0 THEN line END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM flagged GROUP BY doc_id
+        """,
+        "docs_pmi_bigrams": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
+              FROM documents WHERE len(trim(text)) > 0
+            ), uni AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+            ), big AS (
+              SELECT t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1, t[i+1] AS w2
+              FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ), bi AS (
+              SELECT bigram, min(w1) AS w1, min(w2) AS w2, count(*) AS c_xy
+              FROM big GROUP BY bigram HAVING count(*) >= 5
+            ), tot AS (
+              SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS t,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM big) AS b
+            )
+            SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+                   round(ln((c_xy / tot.b)
+                         / ((ux.c / tot.t) * (uy.c / tot.t))), 6) AS pmi
+            FROM bi
+            JOIN uni ux ON ux.w = bi.w1
+            JOIN uni uy ON uy.w = bi.w2, tot
+            ORDER BY pmi DESC, bigram ASC LIMIT 25
         """,
         "docs_tfidf_topk": """
             WITH terms AS (

@@ -277,3 +277,17 @@ def gopher_signals_expr(page: Column) -> Column:
             "frac_ellipsis_lines"
         ),
     )
+
+
+def bigrams_expr(text: Column) -> Column:
+    """Consecutive whitespace-token bigrams as 'w1 w2' strings (empty
+    array for texts with < 2 tokens) — the corpus-statistics twin of the
+    q-gram/shingle expressions above, built with slice/transform so it
+    stays inside codegen."""
+    toks = tokens_expr(text)
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )

@@ -190,3 +190,16 @@ def test_line_dedup_plan_broadcasts_boiler_set_no_python(spark):
     assert "Cartesian" not in f
     assert "BroadcastHashJoin" in f
     assert "struct<doc_id:bigint,text:string>" in f
+
+
+def test_pmi_bigrams_plan_takeordered_no_python(spark):
+    """docs_pmi_bigrams' top-25 must be a TakeOrderedAndProject (never a
+    single-task global sort) with zero Python and no cartesian blowup
+    (the two 1-row totals attach via broadcast)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod._q_docs_pmi_bigrams(spark, SF)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
