@@ -203,3 +203,16 @@ def test_pmi_bigrams_plan_takeordered_no_python(spark):
     assert "TakeOrderedAndProject" in p
     assert "Python" not in p
     assert "CartesianProduct" not in p
+
+
+def test_tfidf_plan_no_python_no_cartesian(spark):
+    """docs_tfidf_topk: per-doc window (partitioned, never single-task
+    global sort), lazy broadcast N (nested-loop on 1 row, NOT a
+    CartesianProduct), zero Python."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod._q_docs_tfidf_topk(spark, SF)
+    p = plan_of(df)
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p and "row_number" in p
