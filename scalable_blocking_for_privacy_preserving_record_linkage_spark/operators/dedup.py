@@ -493,7 +493,9 @@ def line_dedup(
     ``min_docs`` DISTINCT documents is removed from every document.
     Returns one row per doc: (id, n_lines, n_removed, clean_text) with
     surviving lines re-joined in original order; blank lines are always
-    kept and never counted.
+    kept and never counted. NULL-text docs produce no output row (the
+    explode drops them — a hygiene pass has nothing to keep from a
+    null page; filter nulls upstream to retain them).
 
     Scale shape for 10^12 docs: the frequency pass never shuffles line
     text — each doc contributes its in-row ``array_distinct`` of trimmed

@@ -271,3 +271,11 @@ def test_line_dedup_min_docs_one_removes_every_nonblank_line(spark):
     assert out[0]["clean_text"] == ""  # 'a', 'b' removed; blank kept
     assert out[0]["n_removed"] == 2 and out[0]["n_lines"] == 3
     assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
+
+
+def test_line_dedup_null_text_drops_row(spark):
+    """NULL-text docs are dropped (documented contract): the hygiene
+    pass emits output rows only for docs with a (possibly empty) page."""
+    df = spark.createDataFrame([(1, "a\nb"), (2, None)], "doc_id long, text string")
+    got = {r["doc_id"] for r in dedup.line_dedup(df, min_docs=3).collect()}
+    assert got == {1}
